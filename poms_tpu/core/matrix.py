@@ -136,16 +136,23 @@ class StencilMatrix:
         return self.tocoo().toarray()
 
     @classmethod
-    def from_coo(cls, space: StencilVectorSpace, rows, cols, vals) -> "StencilMatrix":
+    def from_coo(cls, space: StencilVectorSpace, rows, cols, vals,
+                 tol: float = 0.0) -> "StencilMatrix":
         """Inverse of :meth:`tocoo` — scatter flat COO into the band.
 
         Entries outside the band raise (choose pads large enough — RAP grows
         bands, see mg/hierarchy.py).  Duplicate (row, col) entries are summed.
+        ``tol`` drops entries with |v| <= tol first (RAP of *nested* spaces is
+        exactly banded, but floating point leaves ~1e-16 junk outside the
+        band — SURVEY.md §7.2.4).
         """
         sp = space
         rows = np.asarray(rows, np.int64)
         cols = np.asarray(cols, np.int64)
         vals = np.asarray(vals)
+        if tol > 0.0:
+            keep = np.abs(vals) > tol
+            rows, cols, vals = rows[keep], cols[keep], vals[keep]
         nd, npts, pads = sp.ndim, sp.npts, sp.pads
 
         band = np.zeros(npts + sp.band_shape, np.float64)

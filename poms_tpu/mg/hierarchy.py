@@ -1,0 +1,102 @@
+"""Multigrid hierarchy construction: spaces, transfers, Galerkin RAP.
+
+SURVEY.md §3.3: per level, build the dyadically-coarsened spline space, the
+knot-insertion prolongation P (and R = Pᵀ — Galerkin convention), and the
+coarse operator A_{l+1} = R·A_l·P via SpGEMM (our host CSR SpGEMM,
+:mod:`poms_tpu.sparse.spgemm`).  Because the dyadic spline spaces are
+*nested* and P is the exact embedding, the Galerkin coarse operator equals
+the directly re-assembled coarse stiffness — tested in tests/test_mg.py —
+and the band width stays (2p+1)^d at every level.
+
+Transfers are stored twice: as host CSR (setup-time RAP) and as per-axis
+:class:`TransferBand` gathers (device-side application on the cycle's hot
+path — SURVEY.md §7.0).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from poms_tpu.core.matrix import StencilMatrix
+from poms_tpu.core.space import StencilVectorSpace
+from poms_tpu.models.bspline import prolongation_interior_1d
+from poms_tpu.models.poisson import PoissonProblem
+from poms_tpu.ops.cholesky import DenseCholesky, factor_dense_cholesky
+from poms_tpu.ops.transfer import TransferBand, bands_from_dense
+from poms_tpu.sparse.csr import CsrMatrix
+from poms_tpu.sparse.spgemm import rap
+
+__all__ = ["Level", "build_hierarchy", "galerkin_coarse_operator"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Level:
+    """One multigrid level.  ``restrict``/``prolong`` map to/from the next
+    coarser level and are None on the coarsest, where ``chol`` is set."""
+    A: StencilMatrix
+    restrict: Optional[Tuple[TransferBand, ...]]
+    prolong: Optional[Tuple[TransferBand, ...]]
+    chol: Optional[DenseCholesky]
+
+    def tree_flatten(self):
+        return (self.A, self.restrict, self.prolong, self.chol), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def galerkin_coarse_operator(A: StencilMatrix, P1s, coarse_npts,
+                             coarse_pads) -> StencilMatrix:
+    """A_c = Pᵀ A P with tensor-product P = ⊗ P1s (host SpGEMM, setup-time)."""
+    import scipy.sparse as sps
+
+    P_sp = None
+    for P1 in P1s:
+        m = sps.csr_matrix(np.asarray(P1))
+        P_sp = m if P_sp is None else sps.kron(P_sp, m, format="csr")
+    P = CsrMatrix.from_scipy(P_sp)
+    R = CsrMatrix.from_scipy(P_sp.T.tocsr())
+    A_csr = CsrMatrix.from_scipy(A.tocsr())
+    Ac = rap(R, A_csr, P)
+    coarse_space = StencilVectorSpace(
+        npts=tuple(coarse_npts), pads=tuple(coarse_pads),
+        periodic=A.space.periodic, dtype=A.space.dtype)
+    rows = np.repeat(np.arange(Ac.shape[0]), Ac.row_lengths())
+    tol = 1e-12 * float(np.abs(Ac.data).max()) if Ac.nnz else 0.0
+    return StencilMatrix.from_coo(coarse_space, rows, Ac.indices, Ac.data,
+                                  tol=tol)
+
+
+def build_hierarchy(problem: PoissonProblem, num_levels: int):
+    """Levels finest→coarsest for a tensor-product B-spline Poisson problem.
+
+    Each coarsening halves n_el per dim (requires divisibility).  The
+    coarsest level gets a dense Cholesky factorization (SURVEY.md §2 C11).
+    """
+    p = problem.degree
+    n_el = problem.n_el
+    A = problem.A
+    levels = []
+    for lev in range(num_levels - 1):
+        if any(ne % 2 or ne < 2 for ne in n_el):
+            raise ValueError(
+                f"cannot coarsen n_el={n_el} at level {lev}: need even >= 2 "
+                f"(asked for {num_levels} levels)")
+        n_el_c = tuple(ne // 2 for ne in n_el)
+        if any(nec + p - 2 < 1 for nec in n_el_c):
+            raise ValueError(f"coarse space empty at level {lev + 1}")
+        P1s = [prolongation_interior_1d(nec, p) for nec in n_el_c]
+        prolong = tuple(bands_from_dense(P1, A.space.dtype) for P1 in P1s)
+        restrict = tuple(bands_from_dense(P1.T, A.space.dtype) for P1 in P1s)
+        coarse_npts = tuple(nec + p - 2 for nec in n_el_c)
+        A_c = galerkin_coarse_operator(A, P1s, coarse_npts, (p,) * problem.dim)
+        levels.append(Level(A=A, restrict=restrict, prolong=prolong, chol=None))
+        A, n_el = A_c, n_el_c
+    levels.append(Level(A=A, restrict=None, prolong=None,
+                        chol=factor_dense_cholesky(A)))
+    return levels

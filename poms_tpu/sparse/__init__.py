@@ -1,0 +1,2 @@
+from poms_tpu.sparse.csr import CsrMatrix
+from poms_tpu.sparse.spgemm import csr_spgemm

@@ -1,0 +1,163 @@
+"""Multigrid convergence + oracle-history parity (SURVEY.md §4, §7.4).
+
+These are the build-plan gates for BASELINE.json configs 1–3:
+  config 1: 1D Poisson, cubic, 2-grid V-cycle, weighted Jacobi
+  config 2: 2D full hierarchy with Galerkin RAP
+  config 3: 3D V-cycle, red-black GS, direct coarsest solve
+plus W-cycle and FMG (config 5's cycle variants).
+"""
+import numpy as np
+import pytest
+
+from poms_tpu.core.vector import StencilVector
+from poms_tpu.mg.cycles import CycleConfig
+from poms_tpu.mg.smoother import SmootherConfig, smooth_step
+from poms_tpu.mg.solver import MultigridSolver
+from poms_tpu.models.poisson import poisson_problem
+from poms_tpu.oracle.mg_oracle import OracleMG
+
+
+def _cfg(smoother="jacobi", omega=2 / 3, nu=2, gamma=1):
+    return CycleConfig(nu1=nu, nu2=nu, gamma=gamma,
+                       smoother=SmootherConfig(kind=smoother, omega=omega))
+
+
+# ---------------------------------------------------------------------------
+# smoother parity: device (banded jnp) vs oracle (scipy CSR)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("kind", ["jacobi", "rbgs", "gs_lex"])
+@pytest.mark.parametrize("dim,n_el", [(1, 16), (2, (6, 8))])
+def test_smoother_parity(kind, dim, n_el):
+    p = 2
+    prob = poisson_problem(dim, n_el, degree=p)
+    oracle = OracleMG(prob, num_levels=2, smoother=kind, omega=0.8)
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal(prob.space.npts)
+    b0 = rng.standard_normal(prob.space.npts)
+    x = StencilVector.from_interior(prob.space, x0)
+    b = StencilVector.from_interior(prob.space, b0)
+    cfg = SmootherConfig(kind=kind, omega=0.8)
+    for _ in range(3):
+        x = smooth_step(prob.A.__class__(prob.A.space, prob.A.band), x, b, cfg)
+    xo = x0.ravel().copy()
+    for _ in range(3):
+        xo = oracle._smooth(oracle.levels[0], xo, b0.ravel())
+    np.testing.assert_allclose(np.asarray(x.interior).ravel(), xo,
+                               rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# config 1: 1D cubic, 2-grid, weighted Jacobi
+# ---------------------------------------------------------------------------
+def test_config1_1d_two_grid_jacobi():
+    prob = poisson_problem(1, 64, degree=3)
+    mg = MultigridSolver(prob, num_levels=2, cfg=_cfg("jacobi"))
+    res = mg.solve(tol=1e-10, maxiter=60)
+    assert res.converged, res.residuals
+    # history parity with the oracle
+    oracle = OracleMG(prob, num_levels=2, smoother="jacobi", omega=2 / 3)
+    _, hist = oracle.solve(np.asarray(prob.b.interior).ravel(), tol=1e-10,
+                           maxiter=60)
+    assert len(hist) == len(res.residuals)
+    np.testing.assert_allclose(res.residuals, hist, rtol=1e-4, atol=1e-13)
+
+
+def test_grid_independent_convergence_factor_1d():
+    rhos = []
+    for n_el in (32, 64, 128):
+        prob = poisson_problem(1, n_el, degree=3)
+        mg = MultigridSolver(prob, num_levels=3, cfg=_cfg("jacobi"))
+        res = mg.solve(tol=1e-10, maxiter=40)
+        assert res.converged
+        # asymptotic factor from the last few cycles
+        fac = res.convergence_factors
+        rhos.append(np.median(fac[2:] if len(fac) > 3 else fac))
+    assert max(rhos) < 0.35
+    assert max(rhos) / min(rhos) < 2.5  # roughly n-independent
+
+
+# ---------------------------------------------------------------------------
+# config 2: 2D full hierarchy, Galerkin RAP
+# ---------------------------------------------------------------------------
+def test_config2_2d_multilevel():
+    prob = poisson_problem(2, 32, degree=3)
+    mg = MultigridSolver(prob, num_levels=4, cfg=_cfg("jacobi", omega=0.8))
+    res = mg.solve(tol=1e-10, maxiter=60)
+    assert res.converged
+    oracle = OracleMG(prob, num_levels=4, smoother="jacobi", omega=0.8)
+    _, hist = oracle.solve(np.asarray(prob.b.interior).ravel(), tol=1e-10,
+                           maxiter=60)
+    np.testing.assert_allclose(res.residuals, hist, rtol=1e-4, atol=1e-13)
+
+
+# ---------------------------------------------------------------------------
+# config 3: 3D, red-black Gauss-Seidel, direct coarse solve
+# ---------------------------------------------------------------------------
+def test_config3_3d_rbgs():
+    # NOTE: for p >= 2 stencils the red-black split leaves same-color
+    # couplings (distance-2 offsets), so the RB smoothing factor is much
+    # weaker than for 5/7-point stencils — convergence is slow but steady
+    # and exactly mirrored by the oracle (see mg/smoother.py docstring).
+    prob = poisson_problem(3, 8, degree=2)
+    mg = MultigridSolver(prob, num_levels=2,
+                         cfg=_cfg("rbgs", omega=1.0))
+    res = mg.solve(tol=1e-10, maxiter=100)
+    assert res.converged
+    oracle = OracleMG(prob, num_levels=2, smoother="rbgs", omega=1.0)
+    _, hist = oracle.solve(np.asarray(prob.b.interior).ravel(), tol=1e-10,
+                           maxiter=100)
+    np.testing.assert_allclose(res.residuals, hist, rtol=1e-4, atol=1e-13)
+
+
+# ---------------------------------------------------------------------------
+# W-cycle and FMG (config 5 cycle variants)
+# ---------------------------------------------------------------------------
+def test_w_cycle():
+    prob = poisson_problem(2, 16, degree=2)
+    mg_v = MultigridSolver(prob, num_levels=3, cfg=_cfg("jacobi", omega=0.8))
+    mg_w = MultigridSolver(prob, num_levels=3,
+                           cfg=_cfg("jacobi", omega=0.8, gamma=2))
+    res_v = mg_v.solve(tol=1e-10, maxiter=60)
+    res_w = mg_w.solve(tol=1e-10, maxiter=60)
+    assert res_w.converged
+    assert res_w.iterations <= res_v.iterations
+    oracle = OracleMG(prob, num_levels=3, smoother="jacobi", omega=0.8,
+                      gamma=2)
+    _, hist = oracle.solve(np.asarray(prob.b.interior).ravel(), tol=1e-10,
+                           maxiter=60)
+    np.testing.assert_allclose(res_w.residuals, hist, rtol=1e-4, atol=1e-13)
+
+
+def test_fmg_start():
+    prob = poisson_problem(2, 16, degree=3)
+    mg = MultigridSolver(prob, num_levels=3, cfg=_cfg("jacobi", omega=0.8))
+    res_cold = mg.solve(tol=1e-10, maxiter=60)
+    res_fmg = mg.solve(tol=1e-10, maxiter=60, use_fmg=True)
+    assert res_fmg.converged
+    assert res_fmg.iterations < res_cold.iterations
+    oracle = OracleMG(prob, num_levels=3, smoother="jacobi", omega=0.8)
+    _, hist = oracle.solve(np.asarray(prob.b.interior).ravel(), tol=1e-10,
+                           maxiter=60, use_fmg=True)
+    np.testing.assert_allclose(res_fmg.residuals, hist, rtol=1e-4, atol=1e-13)
+
+
+def test_solve_compiled_matches_host_loop():
+    prob = poisson_problem(1, 32, degree=3)
+    mg = MultigridSolver(prob, num_levels=2, cfg=_cfg("jacobi"))
+    res = mg.solve(tol=1e-10, maxiter=40)
+    x, rn, it = mg.solve_compiled(tol=1e-10, maxiter=40)
+    assert int(it) == res.iterations
+    assert float(rn) <= 1e-10
+    np.testing.assert_allclose(np.asarray(x.interior),
+                               np.asarray(res.x.interior), rtol=1e-12)
+
+
+def test_gs_lex_smoother_in_cycle():
+    prob = poisson_problem(1, 32, degree=2)
+    mg = MultigridSolver(prob, num_levels=2, cfg=_cfg("gs_lex", omega=1.0))
+    res = mg.solve(tol=1e-10, maxiter=30)
+    assert res.converged
+    oracle = OracleMG(prob, num_levels=2, smoother="gs_lex", omega=1.0)
+    _, hist = oracle.solve(np.asarray(prob.b.interior).ravel(), tol=1e-10,
+                           maxiter=30)
+    np.testing.assert_allclose(res.residuals, hist, rtol=1e-4, atol=1e-13)

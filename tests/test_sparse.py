@@ -1,0 +1,54 @@
+"""CSR container + SpGEMM vs scipy (SURVEY.md §2 C6, §4)."""
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from poms_tpu.sparse.csr import CsrMatrix
+from poms_tpu.sparse.spgemm import csr_spgemm, rap
+
+
+def _rand_sparse(m, n, density, seed):
+    rng = np.random.default_rng(seed)
+    return sps.random(m, n, density=density, random_state=rng, format="csr")
+
+
+@pytest.mark.parametrize("m,k,n,da,db", [
+    (20, 30, 25, 0.2, 0.15),
+    (50, 50, 50, 0.05, 0.05),
+    (10, 1, 10, 0.5, 0.5),
+    (7, 7, 7, 0.0, 0.3),     # empty A
+])
+def test_spgemm_vs_scipy(m, k, n, da, db):
+    A = _rand_sparse(m, k, da, 1)
+    B = _rand_sparse(k, n, db, 2)
+    C = csr_spgemm(CsrMatrix.from_scipy(A), CsrMatrix.from_scipy(B))
+    np.testing.assert_allclose(C.to_scipy().toarray(), (A @ B).toarray(),
+                               atol=1e-13)
+
+
+def test_rap_vs_scipy():
+    A = _rand_sparse(40, 40, 0.1, 3)
+    P = _rand_sparse(40, 18, 0.2, 4)
+    R = CsrMatrix.from_scipy(P.T.tocsr())
+    Ac = rap(R, CsrMatrix.from_scipy(A), CsrMatrix.from_scipy(P))
+    np.testing.assert_allclose(Ac.to_scipy().toarray(),
+                               (P.T @ A @ P).toarray(), atol=1e-13)
+
+
+def test_csr_spmv_and_transpose():
+    A = _rand_sparse(30, 20, 0.2, 5)
+    ours = CsrMatrix.from_scipy(A)
+    x = np.random.default_rng(0).standard_normal(20)
+    np.testing.assert_allclose(ours.spmv(x), A @ x, atol=1e-13)
+    np.testing.assert_allclose(ours.transpose().to_scipy().toarray(),
+                               A.T.toarray(), atol=1e-14)
+
+
+def test_from_coo_coalesces_duplicates():
+    rows = np.array([0, 0, 1, 0])
+    cols = np.array([1, 1, 0, 2])
+    vals = np.array([1.0, 2.0, 3.0, 4.0])
+    C = CsrMatrix.from_coo(rows, cols, vals, (2, 3))
+    D = C.to_scipy().toarray()
+    assert D[0, 1] == 3.0 and D[1, 0] == 3.0 and D[0, 2] == 4.0
+    assert C.nnz == 3
