@@ -1,0 +1,130 @@
+"""Distributed (shard_map) tests on the 8-device virtual CPU mesh.
+
+SURVEY.md §4 tier (a): same code, virtual devices; gates from §7.1.6 —
+sharded ≡ serial to f64 roundoff on SpMV, smoothers, norms and whole
+V-cycle solves (config 4).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from poms_tpu.core.vector import StencilVector
+from poms_tpu.mg.cycles import CycleConfig
+from poms_tpu.mg.smoother import SmootherConfig
+from poms_tpu.mg.solver import MultigridSolver
+from poms_tpu.models.poisson import poisson_problem
+from poms_tpu.parallel.dist import DistributedMG, _pad_band_identity
+from poms_tpu.parallel.halo import (HaloSpec, dist_norm2, dist_spmv,
+                                    pad_and_exchange)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def _sharded_spmv(space, band, x_int, mesh_shape):
+    """Run dist_spmv through shard_map on a padded global array."""
+    d = space.ndim
+    names = tuple(f"ax{a}" for a in range(d))
+    mesh = jax.make_mesh(mesh_shape, names)
+    npts = space.npts
+    N = tuple(-(-npts[a] // mesh_shape[a]) * mesh_shape[a] for a in range(d))
+    n_loc = tuple(N[a] // mesh_shape[a] for a in range(d))
+    spec = HaloSpec.build(names, mesh_shape, n_loc, space.pads, space.periodic)
+    band_pad = jnp.asarray(
+        _pad_band_identity(np.asarray(band), npts, N, space.pads))
+    x_pad = jnp.pad(jnp.asarray(x_int),
+                    [(0, N[a] - npts[a]) for a in range(d)])
+
+    f = jax.shard_map(
+        lambda bl, xl: dist_spmv(bl, xl, spec),
+        mesh=mesh,
+        in_specs=(P(*(names + (None,) * d)), P(*names)),
+        out_specs=P(*names))
+    y = jax.jit(f)(band_pad, x_pad)
+    return np.asarray(y)[tuple(slice(0, n) for n in npts)]
+
+
+@pytest.mark.parametrize("dim,n_el,mesh_shape,periodic", [
+    (1, 32, (8,), False),
+    (1, 32, (4,), False),
+    (2, 12, (4, 2), False),
+    (2, 10, (2, 2), False),
+    (3, 6, (2, 2, 2), False),
+])
+def test_dist_spmv_matches_serial(dim, n_el, mesh_shape, periodic):
+    prob = poisson_problem(dim, n_el, degree=2)
+    x_int = np.random.default_rng(0).standard_normal(prob.space.npts)
+    y_ser = prob.A.dot(StencilVector.from_interior(prob.space, x_int))
+    y_dist = _sharded_spmv(prob.space, prob.A.band, x_int, mesh_shape)
+    np.testing.assert_allclose(y_dist, np.asarray(y_ser.interior),
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_dist_spmv_periodic_wrap():
+    """Periodic dims use wrapping ppermute; compare vs serial wrap."""
+    from tests.test_stencil import random_stencil
+    space, A = random_stencil((16,), (2,), (True,), seed=11)
+    x_int = np.random.default_rng(1).standard_normal(space.npts)
+    y_ser = A.dot(StencilVector.from_interior(space, x_int))
+    y_dist = _sharded_spmv(space, A.band, x_int, (8,))
+    np.testing.assert_allclose(y_dist, np.asarray(y_ser.interior),
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_halo_exchange_unit():
+    """Ghosts after exchange == neighbor interior slabs (1D, 4 devices)."""
+    names = ("ax0",)
+    mesh = jax.make_mesh((4,), names)
+    spec = HaloSpec.build(names, (4,), (4,), (2,), (False,))
+    x = jnp.arange(16.0)
+
+    f = jax.shard_map(lambda xl: pad_and_exchange(xl, spec), mesh=mesh,
+                      in_specs=P("ax0"), out_specs=P("ax0"))
+    out = np.asarray(jax.jit(f)(x)).reshape(4, 8)
+    # device 1 holds [4..8); its left ghosts must be [2,3], right [8,9]
+    np.testing.assert_allclose(out[1], [2, 3, 4, 5, 6, 7, 8, 9])
+    # edge devices get Dirichlet zeros
+    np.testing.assert_allclose(out[0][:2], [0, 0])
+    np.testing.assert_allclose(out[3][-2:], [0, 0])
+
+
+@pytest.mark.parametrize("smoother,omega", [("jacobi", 2 / 3), ("rbgs", 1.0)])
+@pytest.mark.parametrize("dim,n_el,mesh_shape", [
+    (1, 64, (8,)),
+    (2, 16, (4, 2)),
+])
+def test_dist_solve_matches_serial(dim, n_el, mesh_shape, smoother, omega):
+    prob = poisson_problem(dim, n_el, degree=3)
+    cfg = CycleConfig(smoother=SmootherConfig(kind=smoother, omega=omega))
+    serial = MultigridSolver(prob, num_levels=2, cfg=cfg)
+    res_s = serial.solve(tol=1e-10, maxiter=60)
+    dist = DistributedMG(prob, num_levels=2, mesh_shape=mesh_shape, cfg=cfg)
+    res_d = dist.solve(tol=1e-10, maxiter=60)
+    assert res_d.converged
+    assert res_d.iterations == res_s.iterations
+    np.testing.assert_allclose(res_d.residuals, res_s.residuals,
+                               rtol=1e-6, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(res_d.x.interior),
+                               np.asarray(res_s.x.interior),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_dist_3d_multilevel():
+    prob = poisson_problem(3, 8, degree=2)
+    cfg = CycleConfig(smoother=SmootherConfig(kind="jacobi", omega=0.7))
+    serial = MultigridSolver(prob, num_levels=3, cfg=cfg)
+    res_s = serial.solve(tol=1e-8, maxiter=60)
+    dist = DistributedMG(prob, num_levels=3, mesh_shape=(2, 2, 2), cfg=cfg)
+    res_d = dist.solve(tol=1e-8, maxiter=60)
+    assert res_d.converged and res_d.iterations == res_s.iterations
+    np.testing.assert_allclose(res_d.residuals, res_s.residuals,
+                               rtol=1e-6, atol=1e-13)
+
+
+def test_dist_rejects_gs_lex():
+    prob = poisson_problem(1, 16, degree=2)
+    with pytest.raises(ValueError, match="not distributed"):
+        DistributedMG(prob, num_levels=2, mesh_shape=(4,),
+                      cfg=CycleConfig(smoother=SmootherConfig("gs_lex")))
