@@ -1,0 +1,157 @@
+"""Roofline benchmark harness: achieved GB/s and nnz/s vs speed-of-light.
+
+SURVEY.md §5.1 / BASELINE.md: every hot kernel is profiled against the HBM
+roofline.  Banded stencil SpMV streams the band coefficients once
+((2p+1)^d × 4B per grid point — the dominant term for d ≥ 2), reads x and
+writes y, so
+
+    bytes = (band_terms + 2) * grid_points * dtype_size       (+ O(halo))
+    nnz   = band_terms * grid_points
+
+Timing methodology (important on this machine): the TPU is reached through
+an async tunnel where per-call dispatch/fetch timing is unreliable
+(block_until_ready can return early and host reads can stall).  So kernels
+are timed as K *chained* iterations inside one jitted ``lax.fori_loop``
+(device-side loop, one dispatch + one 4-byte scalar fetch per measurement)
+and two runs with K and 2K iterations are differenced to cancel fixed
+overheads.
+"""
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["sol_bandwidth", "bench_spmv", "bench_vcycle", "BenchResult",
+           "time_step_loop"]
+
+# Public HBM bandwidth specs (GB/s) by TPU generation keyword.
+_HBM_GBPS = {
+    "v5 lite": 819.0, "v5e": 819.0,
+    "v4": 1228.0,
+    "v5p": 2765.0,
+    "v6 lite": 1640.0, "v6e": 1640.0,
+}
+
+
+def sol_bandwidth(device=None) -> float:
+    """Best-known HBM bandwidth (GB/s) for the local device."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, bw in _HBM_GBPS.items():
+        if key in kind:
+            return bw
+    return 819.0  # conservative default (v5e)
+
+
+@dataclass
+class BenchResult:
+    name: str
+    dtype: str
+    grid: tuple
+    wall_s: float
+    gbytes_per_s: float
+    gnnz_per_s: float
+    pct_sol: float
+
+    def row(self) -> str:
+        return (f"{self.name:28s} {self.dtype:8s} {str(self.grid):>18s} "
+                f"{self.wall_s * 1e3:8.3f} ms "
+                f"{self.gbytes_per_s:8.1f} GB/s {self.gnnz_per_s:8.2f} Gnnz/s "
+                f"{self.pct_sol:6.1f} %SoL")
+
+
+def time_step_loop(step, x0, consts=(), iters: int = 20) -> float:
+    """Seconds per application of ``step`` (x -> x, same shape/dtype).
+
+    Runs ``lax.fori_loop`` with K and 2K chained steps in single jit calls;
+    returns (t_2K − t_K)/K.  ``consts`` are loop-invariant arrays (streamed
+    every iteration, e.g. the band).
+    """
+    @jax.jit
+    def run(x, *cs):
+        return jax.lax.fori_loop(0, iters, lambda i, xx: step(xx, *cs), x)
+
+    def fetch(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(leaf))     # one scalar fetch forces completion
+
+    fetch(run(x0, *consts))             # compile + warm (single executable)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fetch(run(x0, *consts))
+        best = min(best, time.perf_counter() - t0)
+    # fixed dispatch+fetch overhead is a few ms << iters * step time
+    return best / iters
+
+
+def bench_spmv(npts, degree: int = 3, dtype=jnp.float32, iters: int = 20,
+               impl: str = "jnp") -> BenchResult:
+    """Benchmark banded stencil SpMV on random (contracting) band data.
+
+    The step chains y = A·x back into the next input (re-padded with zero
+    ghosts), so K iterations are data-dependent on device.  The band is
+    scaled to be contracting so chained values decay instead of overflowing.
+    """
+    d = len(npts)
+    npts = tuple(npts)
+    pads = (degree,) * d
+    band_shape = tuple(2 * degree + 1 for _ in range(d))
+    terms = math.prod(band_shape)
+    rng = np.random.default_rng(0)
+    band = rng.standard_normal(npts + band_shape) / (2.0 * math.sqrt(terms))
+    band = jnp.asarray(band, dtype)
+    x0 = jnp.asarray(
+        rng.standard_normal(tuple(n + 2 * degree for n in npts)), dtype)
+
+    if impl == "jnp":
+        from poms_tpu.ops.spmv import spmv_banded_jnp as spmv_fn
+    elif impl == "pallas":
+        from poms_tpu.ops.pallas.spmv import spmv_banded_pallas as spmv_fn
+    else:
+        raise ValueError(impl)
+
+    pad_widths = [(degree, degree)] * d
+
+    def step(x_pad, bnd):
+        y = spmv_fn(bnd, x_pad, npts, pads)
+        return jnp.pad(y, pad_widths)
+
+    wall = time_step_loop(step, x0, consts=(band,), iters=iters)
+    points = math.prod(npts)
+    isize = jnp.dtype(dtype).itemsize
+    nbytes = (terms + 2) * points * isize
+    nnz = terms * points
+    gbps = nbytes / wall / 1e9
+    sol = sol_bandwidth()
+    return BenchResult(
+        name=f"spmv_banded_{impl}_{d}d_p{degree}", dtype=str(jnp.dtype(dtype)),
+        grid=npts, wall_s=wall, gbytes_per_s=gbps,
+        gnnz_per_s=nnz / wall / 1e9, pct_sol=100.0 * gbps / sol)
+
+
+def bench_vcycle(dim: int, n_el: int, degree: int, num_levels: int,
+                 dtype=jnp.float32, iters: int = 5):
+    """Seconds per V-cycle (chained on device, overhead-cancelled)."""
+    from poms_tpu.core.vector import StencilVector
+    from poms_tpu.mg.cycles import CycleConfig, cycle
+    from poms_tpu.mg.hierarchy import build_hierarchy
+    from poms_tpu.mg.smoother import SmootherConfig
+    from poms_tpu.models.poisson import poisson_problem
+
+    prob = poisson_problem(dim, n_el, degree=degree, dtype=dtype)
+    cfg = CycleConfig(smoother=SmootherConfig("jacobi", 0.8))
+    levels = build_hierarchy(prob, num_levels)
+    b = prob.b
+
+    def step(x, *consts):
+        return cycle(levels, 0, x, b, cfg)
+
+    x0 = StencilVector.zeros(prob.space)
+    wall = time_step_loop(step, x0, consts=(), iters=iters)
+    return wall, prob

@@ -24,7 +24,7 @@ import numpy as np
 
 from poms_tpu.core.space import StencilVectorSpace
 from poms_tpu.core.vector import StencilVector
-from poms_tpu.ops.spmv import spmv_banded_jnp
+from poms_tpu.ops import dispatch as _ops
 
 __all__ = ["StencilMatrix"]
 
@@ -61,7 +61,7 @@ class StencilMatrix:
     def dot(self, v: StencilVector) -> StencilVector:
         """y = A v. Refreshes ghosts, then the banded SpMV (SURVEY.md §3.4)."""
         vg = v.update_ghost_regions()
-        out_int = spmv_banded_jnp(self.band, vg.data, self.space.npts, self.space.pads)
+        out_int = _ops.spmv(self.band, vg.data, self.space.npts, self.space.pads)
         return StencilVector.from_interior(self.space, out_int)
 
     def __matmul__(self, v: StencilVector) -> StencilVector:

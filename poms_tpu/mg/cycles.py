@@ -13,6 +13,7 @@ from typing import List
 
 from poms_tpu.core.vector import StencilVector
 from poms_tpu.mg.hierarchy import Level
+from poms_tpu.ops import dispatch as _ops
 from poms_tpu.mg.smoother import SmootherConfig, smooth_step
 from poms_tpu.ops.transfer import apply_transfer
 
@@ -41,8 +42,10 @@ def cycle(levels: List[Level], l: int, x: StencilVector, b: StencilVector,
         return _coarse_solve(level, b)
     for _ in range(cfg.nu1):
         x = smooth_step(level.A, x, b, cfg.smoother)
-    r = b - level.A.dot(x)
-    b_c_int = apply_transfer(level.restrict, r.interior)
+    sp = level.A.space
+    r_int = _ops.residual(level.A.band, x.update_ghost_regions().data,
+                          b.interior, sp.npts, sp.pads)
+    b_c_int = apply_transfer(level.restrict, r_int)
     sp_c = levels[l + 1].A.space
     b_c = StencilVector.from_interior(sp_c, b_c_int)
     x_c = StencilVector.zeros(sp_c)

@@ -72,15 +72,79 @@ def galerkin_coarse_operator(A: StencilMatrix, P1s, coarse_npts,
                                   tol=tol)
 
 
-def build_hierarchy(problem: PoissonProblem, num_levels: int):
+def _tensor_coarse_operator(splines, P1s, dim, degree, space_dtype,
+                            periodic) -> tuple:
+    """Galerkin RAP exploiting the Kronecker-sum structure of the Poisson
+    operator:  Pᵀ(Σ_a ⊗K/M)P = Σ_a ⊗(P1ᵀ K P1 / P1ᵀ M P1)  since P = ⊗P1.
+
+    Runs d small *dense* 1D triple products instead of a d-D SpGEMM — O(n²)
+    host work vs the CSR path's O(nnz·fanout) memory blowup at 3D scale.
+    Returns the coarse per-dim (K_band, M_band) list; exactness vs the CSR
+    SpGEMM path is asserted in tests/test_transfer.py.
+    """
+    import numpy as np
+
+    from poms_tpu.models.bspline import interior_band
+
+    coarse_1d = []
+    for s_pair, P1 in zip(splines, P1s):
+        K_band, M_band = s_pair
+        n = K_band.shape[0]
+        p = degree
+        # dense 1D matrices from bands
+        def dense(Bb):
+            D = np.zeros((n, n))
+            for i in range(n):
+                for off in range(2 * p + 1):
+                    j = i + off - p
+                    if 0 <= j < n:
+                        D[i, j] = Bb[i, off]
+            return D
+        Kc = P1.T @ dense(K_band) @ P1
+        Mc = P1.T @ dense(M_band) @ P1
+        nc = P1.shape[1]
+        # band extraction (coarse band width stays 2p+1 by nestedness)
+        Kcb = np.zeros((nc, 2 * p + 1))
+        Mcb = np.zeros((nc, 2 * p + 1))
+        for off in range(2 * p + 1):
+            d_off = off - p
+            i = np.arange(max(0, -d_off), min(nc, nc - d_off))
+            Kcb[i, off] = Kc[i, i + d_off]
+            Mcb[i, off] = Mc[i, i + d_off]
+        # verify nothing fell outside the band
+        scale = max(abs(Kc).max(), 1.0)
+        mask = np.abs(np.triu(Kc, p + 1)) + np.abs(np.tril(Kc, -(p + 1)))
+        if mask.max() > 1e-10 * scale:
+            raise AssertionError("coarse 1D operator escaped the band")
+        coarse_1d.append((Kcb, Mcb))
+    return coarse_1d
+
+
+def build_hierarchy(problem: PoissonProblem, num_levels: int,
+                    method: str = "auto"):
     """Levels finest→coarsest for a tensor-product B-spline Poisson problem.
 
     Each coarsening halves n_el per dim (requires divisibility).  The
     coarsest level gets a dense Cholesky factorization (SURVEY.md §2 C11).
+
+    ``method``: how coarse operators are assembled —
+      'spgemm' — general Galerkin RAP via host CSR SpGEMM (C6 path);
+      'tensor' — dense 1D RAPs composed through the Kronecker-sum
+                 structure (identical result for these problems, scales to
+                 3D grids where the d-D SpGEMM expansion would not);
+      'auto'   — 'tensor' when the fine grid exceeds ~10⁶ rows.
     """
+    import numpy as np
+
+    from poms_tpu.models.poisson import _kron_sum_band
+
     p = problem.degree
+    d = problem.dim
     n_el = problem.n_el
     A = problem.A
+    if method == "auto":
+        method = "tensor" if A.space.size > 1_000_000 else "spgemm"
+    bands_1d = [(s.K, s.M) for s in problem.splines]
     levels = []
     for lev in range(num_levels - 1):
         if any(ne % 2 or ne < 2 for ne in n_el):
@@ -94,7 +158,21 @@ def build_hierarchy(problem: PoissonProblem, num_levels: int):
         prolong = tuple(bands_from_dense(P1, A.space.dtype) for P1 in P1s)
         restrict = tuple(bands_from_dense(P1.T, A.space.dtype) for P1 in P1s)
         coarse_npts = tuple(nec + p - 2 for nec in n_el_c)
-        A_c = galerkin_coarse_operator(A, P1s, coarse_npts, (p,) * problem.dim)
+        if method == "tensor":
+            bands_1d = _tensor_coarse_operator(
+                bands_1d, P1s, d, p, A.space.dtype, A.space.periodic)
+            coarse_space = StencilVectorSpace(
+                npts=coarse_npts, pads=(p,) * d, periodic=A.space.periodic,
+                dtype=A.space.dtype)
+
+            class _S:  # adapter for _kron_sum_band's (K, M) attribute shape
+                def __init__(self, K, M):
+                    self.K, self.M = K, M
+
+            band_c = _kron_sum_band([_S(K, M) for K, M in bands_1d])
+            A_c = StencilMatrix.from_band(coarse_space, band_c)
+        else:
+            A_c = galerkin_coarse_operator(A, P1s, coarse_npts, (p,) * d)
         levels.append(Level(A=A, restrict=restrict, prolong=prolong, chol=None))
         A, n_el = A_c, n_el_c
     levels.append(Level(A=A, restrict=None, prolong=None,

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from poms_tpu.core.matrix import StencilMatrix
 from poms_tpu.core.vector import StencilVector
+from poms_tpu.ops import dispatch as _ops
 from poms_tpu.ops.spmv import spmv_banded_jnp, spmv_offdiag_jnp
 
 __all__ = ["SmootherConfig", "smooth_step", "color_mask",
@@ -64,8 +65,7 @@ def jacobi_step(A: StencilMatrix, x: StencilVector, b: StencilVector,
                 omega: float) -> StencilVector:
     sp = A.space
     xg = x.update_ghost_regions()
-    Ax = spmv_banded_jnp(A.band, xg.data, sp.npts, sp.pads)
-    x_new = x.interior + omega * (b.interior - Ax) / A.diagonal()
+    x_new = _ops.jacobi(A.band, xg.data, b.interior, omega, sp.npts, sp.pads)
     return StencilVector.from_interior(sp, x_new)
 
 

@@ -36,9 +36,21 @@ def _concat_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
 
 
 def csr_spgemm(A: CsrMatrix, B: CsrMatrix) -> CsrMatrix:
-    """C = A @ B for host CSR matrices."""
+    """C = A @ B for host CSR matrices.
+
+    Uses the native C++ SMMP kernel (sparse/cpp/spgemm.cpp, O(flops) memory)
+    when available, else the vectorized numpy expand/coalesce fallback.
+    """
     if A.shape[1] != B.shape[0]:
         raise ValueError(f"shape mismatch {A.shape} @ {B.shape}")
+    from poms_tpu.sparse.native import csr_spgemm_native, native_available
+
+    if native_available():
+        Cp, Cj, Cx = csr_spgemm_native(
+            A.indptr, A.indices, A.data, B.indptr, B.indices, B.data,
+            A.shape[0], B.shape[1])
+        return CsrMatrix(indptr=Cp, indices=Cj, data=Cx,
+                         shape=(A.shape[0], B.shape[1]))
     a_rows = np.repeat(np.arange(A.shape[0], dtype=np.int64), A.row_lengths())
     a_cols = A.indices
     a_vals = A.data

@@ -1,0 +1,65 @@
+"""Pallas kernels vs jnp reference, interpret mode (SURVEY.md §5.2: the
+pure-jnp kernels + Pallas interpret mode ARE the race-detector/sanitizer
+for this codebase)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from poms_tpu.ops.pallas.spmv import (jacobi_fused_pallas,
+                                      residual_fused_pallas,
+                                      spmv_banded_pallas)
+from poms_tpu.ops.spmv import spmv_banded_jnp
+
+CASES = [
+    ((32,), 3),
+    ((600,), 2),
+    ((513,), 1),       # forces 1D plank padding
+    ((16, 24), 2),
+    ((40, 140), 3),    # forces 2D tile padding
+    ((8, 12, 20), 1),
+    ((10, 9, 130), 2),
+]
+
+
+def _setup(npts, p, seed=0, dtype=jnp.float32):
+    d = len(npts)
+    rng = np.random.default_rng(seed)
+    band = jnp.asarray(
+        rng.standard_normal(npts + tuple(2 * p + 1 for _ in range(d))), dtype)
+    xpad = jnp.asarray(
+        rng.standard_normal(tuple(n + 2 * p for n in npts)), dtype)
+    b = jnp.asarray(rng.standard_normal(npts), dtype)
+    return band, xpad, b
+
+
+@pytest.mark.parametrize("npts,p", CASES)
+def test_spmv_pallas_interpret(npts, p):
+    d = len(npts)
+    pads = (p,) * d
+    band, xpad, b = _setup(npts, p)
+    ref = spmv_banded_jnp(band, xpad, npts, pads)
+    out = spmv_banded_pallas(band, xpad, npts, pads, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("npts,p", CASES[::2])
+def test_residual_fused_interpret(npts, p):
+    d = len(npts)
+    pads = (p,) * d
+    band, xpad, b = _setup(npts, p, seed=1)
+    ref = b - spmv_banded_jnp(band, xpad, npts, pads)
+    out = residual_fused_pallas(band, xpad, b, npts, pads, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("npts,p", CASES[::2])
+def test_jacobi_fused_interpret(npts, p):
+    d = len(npts)
+    pads = (p,) * d
+    band, xpad, b = _setup(npts, p, seed=2)
+    diag = band[(...,) + pads]
+    xc = xpad[tuple(slice(p, p + n) for n in npts)]
+    ref = xc + jnp.float32(0.7) * (b - spmv_banded_jnp(band, xpad, npts, pads)) / diag
+    out = jacobi_fused_pallas(band, xpad, b, 0.7, npts, pads, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

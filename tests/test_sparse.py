@@ -52,3 +52,28 @@ def test_from_coo_coalesces_duplicates():
     D = C.to_scipy().toarray()
     assert D[0, 1] == 3.0 and D[1, 0] == 3.0 and D[0, 2] == 4.0
     assert C.nnz == 3
+
+
+def test_native_spgemm_builds_and_matches():
+    from poms_tpu.sparse.native import native_available, csr_spgemm_native
+    if not native_available():
+        import pytest as _pytest
+        _pytest.skip("no native toolchain")
+    A = _rand_sparse(60, 40, 0.15, 7)
+    B = _rand_sparse(40, 55, 0.15, 8)
+    Cp, Cj, Cx = csr_spgemm_native(
+        A.indptr.astype('int64'), A.indices.astype('int64'), A.data,
+        B.indptr.astype('int64'), B.indices.astype('int64'), B.data,
+        60, 55)
+    import scipy.sparse as _sps
+    C = _sps.csr_matrix((Cx, Cj, Cp), shape=(60, 55))
+    np.testing.assert_allclose(C.toarray(), (A @ B).toarray(), atol=1e-13)
+
+
+def test_spgemm_dispatch_prefers_native(monkeypatch):
+    """csr_spgemm returns identical results whichever backend runs."""
+    A = _rand_sparse(30, 30, 0.2, 9)
+    B = _rand_sparse(30, 30, 0.2, 10)
+    ours = csr_spgemm(CsrMatrix.from_scipy(A), CsrMatrix.from_scipy(B))
+    np.testing.assert_allclose(ours.to_scipy().toarray(), (A @ B).toarray(),
+                               atol=1e-13)

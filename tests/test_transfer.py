@@ -68,3 +68,16 @@ def test_galerkin_equals_rediscretization(dim, n_el, p):
     Ac = galerkin_coarse_operator(prob_f.A, P1s, prob_c.space.npts,
                                   (p,) * dim)
     np.testing.assert_allclose(Ac.toarray(), prob_c.A.toarray(), atol=1e-11)
+
+
+def test_tensor_hierarchy_equals_spgemm_hierarchy():
+    """'tensor' (1D dense RAP via Kronecker structure) == 'spgemm' path."""
+    from poms_tpu.mg.hierarchy import build_hierarchy
+    for dim, n_el, p in [(1, 16, 3), (2, (8, 12), 2), (3, 4, 2)]:
+        prob = poisson_problem(dim, n_el, degree=p)
+        lv_t = build_hierarchy(prob, 3 if dim == 1 else 2, method="tensor")
+        lv_s = build_hierarchy(prob, 3 if dim == 1 else 2, method="spgemm")
+        for lt, ls in zip(lv_t, lv_s):
+            np.testing.assert_allclose(np.asarray(lt.A.band),
+                                       np.asarray(ls.A.band),
+                                       rtol=1e-10, atol=1e-12)
