@@ -72,6 +72,11 @@ def time_step_loop(step, x0, consts=(), iters: int = 20) -> float:
     returns (t_2K − t_K)/K.  ``consts`` are loop-invariant arrays (streamed
     every iteration, e.g. the band).
     """
+    import sys
+
+    def stage(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     @jax.jit
     def run(x, *cs):
         return jax.lax.fori_loop(0, iters, lambda i, xx: step(xx, *cs), x)
@@ -80,12 +85,15 @@ def time_step_loop(step, x0, consts=(), iters: int = 20) -> float:
         leaf = jax.tree.leaves(out)[0]
         return float(jnp.sum(leaf))     # one scalar fetch forces completion
 
+    stage("compile+warm start")
     fetch(run(x0, *consts))             # compile + warm (single executable)
+    stage("compile+warm done")
     best = float("inf")
-    for _ in range(2):
+    for rep in range(2):
         t0 = time.perf_counter()
         fetch(run(x0, *consts))
         best = min(best, time.perf_counter() - t0)
+        stage(f"timed rep {rep}: {best:.4f}s for {iters} iters")
     # fixed dispatch+fetch overhead is a few ms << iters * step time
     return best / iters
 
@@ -103,11 +111,20 @@ def bench_spmv(npts, degree: int = 3, dtype=jnp.float32, iters: int = 20,
     pads = (degree,) * d
     band_shape = tuple(2 * degree + 1 for _ in range(d))
     terms = math.prod(band_shape)
-    rng = np.random.default_rng(0)
-    band = rng.standard_normal(npts + band_shape) / (2.0 * math.sqrt(terms))
-    band = jnp.asarray(band, dtype)
-    x0 = jnp.asarray(
-        rng.standard_normal(tuple(n + 2 * degree for n in npts)), dtype)
+    # IMPORTANT: generate operands ON DEVICE.  The 3D cubic band is ~GBs;
+    # host->device transfer through this machine's TPU tunnel is far slower
+    # than the kernel being measured (and can stall for many minutes).
+    @jax.jit
+    def make_operands():
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        band = jax.random.normal(k1, npts + band_shape, dtype)
+        band = band / (2.0 * math.sqrt(terms))
+        x0 = jax.random.normal(
+            k2, tuple(n + 2 * degree for n in npts), dtype)
+        return band, x0
+
+    band, x0 = make_operands()
+    jax.block_until_ready(band)
 
     if impl == "jnp":
         from poms_tpu.ops.spmv import spmv_banded_jnp as spmv_fn

@@ -1,0 +1,184 @@
+"""Mixed-precision solvers: defect correction and MG-preconditioned CG.
+
+SURVEY.md §7.2.1 — the single biggest tension in the TPU design: the
+tolerance target is ‖r‖ ≤ 1e-10 (f64 territory) but the fast kernels are
+f32 (Mosaic has no f64; XLA emulates f64 slowly).  Resolution, standard in
+mixed-precision linear algebra:
+
+- **Defect correction** (iterative refinement):
+      x ← x + E(b − A x)
+  where the residual uses the f64 operator (one SpMV per outer step,
+  jnp/XLA-emulated) and the error solve E is a full V-cycle run entirely in
+  f32 on a casted hierarchy (Pallas kernels on TPU).  The f32 cycle only
+  ever sees the *residual* scaled to O(1), so its rounding floor does not
+  limit the attainable f64 residual.
+
+- **Flexible PCG**: conjugate gradients in f64 with one f32 V-cycle as the
+  preconditioner application (Polak–Ribière/IPCG form, which tolerates the
+  slightly nonsymmetric f32 preconditioner).  Halves iteration counts for
+  the slow-smoother regimes (high degree p).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from poms_tpu.core.vector import StencilVector
+from poms_tpu.mg.cycles import CycleConfig, cycle
+from poms_tpu.mg.hierarchy import Level, build_hierarchy
+from poms_tpu.mg.solver import SolveResult
+from poms_tpu.models.poisson import PoissonProblem
+
+__all__ = ["MixedPrecisionMG", "MGPreconditionedCG"]
+
+
+def _cast_levels(levels, dtype):
+    """Cast a hierarchy's arrays (bands, transfer weights, Cholesky factor)."""
+    def cast(leaf):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    lo = jax.tree.map(cast, levels)
+    # spaces are static metadata; rebuild with the low dtype so that
+    # from_interior casts stay consistent
+    out = []
+    for lev in lo:
+        sp = lev.A.space.with_dtype(dtype)
+        A = type(lev.A)(sp, lev.A.band)
+        out.append(Level(A=A, restrict=lev.restrict, prolong=lev.prolong,
+                         chol=lev.chol))
+    return out
+
+
+class MixedPrecisionMG:
+    """Defect-correction multigrid: f64 residuals, f32 cycles."""
+
+    def __init__(self, problem: PoissonProblem, num_levels: int,
+                 cfg: CycleConfig = CycleConfig(),
+                 low_dtype=jnp.float32):
+        if problem.space.dtype != jnp.dtype(jnp.float64):
+            raise ValueError("build the problem in f64; the low-precision "
+                             "hierarchy is derived from it")
+        self.problem = problem
+        self.cfg = cfg
+        self.levels64 = build_hierarchy(problem, num_levels)
+        self.levels32 = _cast_levels(self.levels64, low_dtype)
+        self.low_dtype = low_dtype
+        A64 = self.levels64[0].A
+        sp32 = self.levels32[0].A.space
+
+        def step(levels64, levels32, x, b):
+            r = b - levels64[0].A.dot(x)           # f64 residual
+            scale = r.norm()
+            safe = jnp.where(scale > 0, scale, 1.0)
+            r32 = StencilVector.from_interior(
+                sp32, (r.interior / safe).astype(low_dtype))
+            e32 = cycle(levels32, 0, StencilVector.zeros(sp32), r32, cfg)
+            e = e32.interior.astype(jnp.float64) * safe
+            x = StencilVector.from_interior(x.space, x.interior + e)
+            rn = (b - levels64[0].A.dot(x)).norm()
+            return x, rn
+
+        self._step = jax.jit(step)
+
+    def solve(self, b: Optional[StencilVector] = None, tol: float = 1e-10,
+              maxiter: int = 100, logger=None) -> SolveResult:
+        b = b if b is not None else self.problem.b
+        x = StencilVector.zeros(self.problem.space)
+        residuals = [float(b.norm())]
+        wall = []
+        it, converged = 0, residuals[-1] <= tol
+        while not converged and it < maxiter:
+            t0 = time.perf_counter()
+            x, rn = self._step(self.levels64, self.levels32, x, b)
+            rn = float(rn)
+            wall.append(time.perf_counter() - t0)
+            residuals.append(rn)
+            it += 1
+            converged = rn <= tol
+            if logger is not None:
+                logger.log_cycle(cycle=it, residual=rn,
+                                 rho=rn / residuals[-2] if residuals[-2]
+                                 else 0.0, wall_s=wall[-1])
+        return SolveResult(x=x, residuals=residuals, iterations=it,
+                           converged=converged, wall_times=wall)
+
+
+class MGPreconditionedCG:
+    """Flexible CG (IPCG) with one multigrid cycle as preconditioner.
+
+    The Krylov acceleration wraps either the f64 hierarchy (CPU/testing) or
+    the f32 hierarchy in the mixed scheme (TPU fast path).
+    """
+
+    def __init__(self, problem: PoissonProblem, num_levels: int,
+                 cfg: CycleConfig = CycleConfig(), mixed: bool = True,
+                 low_dtype=jnp.float32):
+        self.problem = problem
+        self.cfg = cfg
+        self.levels = build_hierarchy(problem, num_levels)
+        self.mixed = mixed and problem.space.dtype == jnp.dtype(jnp.float64)
+        self.levels_pre = (_cast_levels(self.levels, low_dtype)
+                          if self.mixed else self.levels)
+        self.low_dtype = low_dtype
+        sp_pre = self.levels_pre[0].A.space
+
+        def precond(levels_pre, r: StencilVector) -> StencilVector:
+            scale = r.norm()
+            safe = jnp.where(scale > 0, scale, 1.0)
+            r_lo = StencilVector.from_interior(
+                sp_pre, (r.interior / safe).astype(sp_pre.dtype))
+            z_lo = cycle(levels_pre, 0, StencilVector.zeros(sp_pre), r_lo,
+                         cfg)
+            z = z_lo.interior.astype(r.space.dtype) * safe
+            return StencilVector.from_interior(r.space, z)
+
+        def step(levels, levels_pre, x, r, z, p, rz):
+            A = levels[0].A
+            Ap = A.dot(p)
+            alpha = rz / p.dot(Ap)
+            x = x.axpy(alpha, p)
+            r_new = r.axpy(-alpha, Ap)
+            z_new = precond(levels_pre, r_new)
+            # flexible (IPCG / Polak–Ribière) beta
+            rz_new = r_new.dot(z_new)
+            beta = (rz_new - r_new.dot(z)) / rz
+            p = z_new.axpy(beta, p)
+            return x, r_new, z_new, p, rz_new, r_new.norm()
+
+        self._step = jax.jit(step)
+        self._precond = jax.jit(precond)
+
+    def solve(self, b: Optional[StencilVector] = None, tol: float = 1e-10,
+              maxiter: int = 100, logger=None) -> SolveResult:
+        b = b if b is not None else self.problem.b
+        A = self.levels[0].A
+        x = StencilVector.zeros(self.problem.space)
+        r = b
+        residuals = [float(r.norm())]
+        if residuals[-1] <= tol:
+            return SolveResult(x=x, residuals=residuals, iterations=0,
+                               converged=True)
+        z = self._precond(self.levels_pre, r)
+        p = z
+        rz = r.dot(z)
+        wall = []
+        it, converged = 0, False
+        while not converged and it < maxiter:
+            t0 = time.perf_counter()
+            x, r, z, p, rz, rn = self._step(self.levels, self.levels_pre,
+                                            x, r, z, p, rz)
+            rn = float(rn)
+            wall.append(time.perf_counter() - t0)
+            residuals.append(rn)
+            it += 1
+            converged = rn <= tol
+            if logger is not None:
+                logger.log_cycle(cycle=it, residual=rn,
+                                 rho=rn / residuals[-2], wall_s=wall[-1])
+        return SolveResult(x=x, residuals=residuals, iterations=it,
+                           converged=converged, wall_times=wall)

@@ -43,15 +43,20 @@ class PoissonProblem:
     splines: Tuple[Spline1D, ...]
 
 
-def _kron_sum_band(splines) -> np.ndarray:
-    """Band of Σ_a ⊗(K if dim==a else M) with axes (grid..., offsets...)."""
+def _kron_sum_band(splines, dtype=None):
+    """Band of Σ_a ⊗(K if dim==a else M) with axes (grid..., offsets...).
+
+    Composed ON DEVICE with jnp.einsum from the tiny 1D bands: the d-D band
+    is GB-scale for 3D problems and must never cross the host↔device link
+    (this machine's TPU tunnel makes bulk transfers pathologically slow).
+    """
     d = len(splines)
-    Ks = [s.K for s in splines]
-    Ms = [s.M for s in splines]
+    dt = dtype or jnp.float64
+    Ks = [jnp.asarray(s.K, dt) for s in splines]
+    Ms = [jnp.asarray(s.M, dt) for s in splines]
     total = None
     for a in range(d):
         factors = [Ks[b] if b == a else Ms[b] for b in range(d)]
-        # einsum 'io,jp,kq->ijkop q' style: grid indices then offsets
         in_subs = []
         out_grid, out_off = [], []
         for b in range(d):
@@ -60,7 +65,7 @@ def _kron_sum_band(splines) -> np.ndarray:
             out_grid.append(gi)
             out_off.append(oi)
         expr = ",".join(in_subs) + "->" + "".join(out_grid) + "".join(out_off)
-        term = np.einsum(expr, *factors)
+        term = jnp.einsum(expr, *factors)
         total = term if total is None else total + term
     return total
 
@@ -77,15 +82,16 @@ def poisson_problem(dim: int, n_el, degree: int = 3,
     npts = tuple(s.n for s in splines)
     space = StencilVectorSpace(npts=npts, pads=degree, periodic=False,
                                dtype=dtype)
-    band = _kron_sum_band(splines)
+    band = _kron_sum_band(splines, dtype)
     A = StencilMatrix.from_band(space, band)
-    # RHS: f = d π² Π sin(π x_a)  →  b = d π² ⊗_a s_a
-    moments = [sin_moment_1d(s, m=1, interior=True) for s in splines]
+    # RHS: f = d π² Π sin(π x_a)  →  b = d π² ⊗_a s_a  (device outer product)
+    moments = [jnp.asarray(sin_moment_1d(s, m=1, interior=True), dtype)
+               for s in splines]
     b_int = moments[0]
     for m in moments[1:]:
-        b_int = np.multiply.outer(b_int, m)
+        b_int = jnp.tensordot(b_int, m, axes=0)
     b_int = dim * np.pi ** 2 * b_int
-    b = StencilVector.from_interior(space, jnp.asarray(b_int, dtype))
+    b = StencilVector.from_interior(space, b_int)
     return PoissonProblem(dim=dim, degree=degree, n_el=n_el, space=space,
                           A=A, b=b, splines=splines)
 

@@ -48,7 +48,7 @@ def _cdiv(a, b):
 # core 2D/3D kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(nd, tile, pads, mode):
+def _make_kernel(nd, tile, pads, mode, win_al):
     """Kernel body for mode in {'spmv', 'residual'} ('jacobi' uses the
     scalar-prefetch variant below)."""
     win = tuple(2 * p + 1 for p in pads)
@@ -59,7 +59,7 @@ def _make_kernel(nd, tile, pads, mode):
         else:
             x_hbm, band_ref, b_ref, out_ref, xw, sem = refs
         ids = [pl.program_id(a) for a in range(nd)]
-        src = x_hbm.at[tuple(pl.ds(ids[a] * tile[a], tile[a] + 2 * pads[a])
+        src = x_hbm.at[tuple(pl.ds(ids[a] * tile[a], win_al[a])
                              for a in range(nd))]
         dma = pltpu.make_async_copy(src, xw, sem)
         dma.start()
@@ -79,14 +79,14 @@ def _make_kernel(nd, tile, pads, mode):
     return kernel
 
 
-def _make_kernel_omega(nd, tile, pads):
+def _make_kernel_omega(nd, tile, pads, win_al):
     """Jacobi kernel with omega passed via scalar-prefetch SMEM ref."""
     win = tuple(2 * p + 1 for p in pads)
     diag_idx = tuple(pads)
 
     def kernel(omega_ref, x_hbm, band_ref, b_ref, out_ref, xw, sem):
         ids = [pl.program_id(a) for a in range(nd)]
-        src = x_hbm.at[tuple(pl.ds(ids[a] * tile[a], tile[a] + 2 * pads[a])
+        src = x_hbm.at[tuple(pl.ds(ids[a] * tile[a], win_al[a])
                              for a in range(nd))]
         dma = pltpu.make_async_copy(src, xw, sem)
         dma.start()
@@ -125,17 +125,33 @@ def _choose_tiles(npts, pads, itemsize) -> Tuple[int, ...]:
     return tuple(tile)
 
 
+def _window_align(nd):
+    """Mosaic memref_slice alignment for DMA window sizes (sublane, lane)."""
+    align = [1] * nd
+    align[-1] = 128
+    if nd >= 2:
+        align[-2] = 8
+    return align
+
+
 def _pad_operands(band, x_pad, b, npts, pads, tile):
-    """Pad grid dims to tile multiples (zero band rows → zero output)."""
+    """Pad grid dims to tile multiples (zero band rows → zero output) and
+    give x enough end-padding for alignment-rounded DMA windows."""
     nd = len(npts)
     N = tuple(_cdiv(npts[a], tile[a]) * tile[a] for a in range(nd))
+    align = _window_align(nd)
+    win = [tile[a] + 2 * pads[a] for a in range(nd)]
+    win_al = [_cdiv(win[a], align[a]) * align[a] for a in range(nd)]
+    extra = [win_al[a] - win[a] for a in range(nd)]
     if N != tuple(npts):
         band = jnp.pad(band, [(0, N[a] - npts[a]) for a in range(nd)]
                        + [(0, 0)] * nd)
-        x_pad = jnp.pad(x_pad, [(0, N[a] - npts[a]) for a in range(nd)])
         if b is not None:
             b = jnp.pad(b, [(0, N[a] - npts[a]) for a in range(nd)])
-    return band, x_pad, b, N
+    x_extra = [(0, N[a] - npts[a] + extra[a]) for a in range(nd)]
+    if any(e != (0, 0) for e in x_extra):
+        x_pad = jnp.pad(x_pad, x_extra)
+    return band, x_pad, b, N, tuple(win_al)
 
 
 @functools.partial(jax.jit,
@@ -145,7 +161,8 @@ def _stencil_call(band, x_pad, b, omega, npts, pads, mode, interpret=False):
     dtype = band.dtype
     itemsize = jnp.dtype(dtype).itemsize
     tile = _choose_tiles(npts, pads, itemsize)
-    band, x_pad, b, N = _pad_operands(band, x_pad, b, npts, pads, tile)
+    band, x_pad, b, N, win_al = _pad_operands(band, x_pad, b, npts, pads,
+                                              tile)
     grid = tuple(N[a] // tile[a] for a in range(nd))
     win = tuple(2 * p + 1 for p in pads)
 
@@ -160,13 +177,13 @@ def _stencil_call(band, x_pad, b, omega, npts, pads, mode, interpret=False):
     # HBM sources allow arbitrary windows.
     x_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     scratch = [
-        pltpu.VMEM(tuple(tile[a] + 2 * pads[a] for a in range(nd)), dtype),
+        pltpu.VMEM(win_al, dtype),
         pltpu.SemaphoreType.DMA,
     ]
     out_shape = jax.ShapeDtypeStruct(N, dtype)
 
     if mode == "spmv":
-        kernel = _make_kernel(nd, tile, pads, "spmv")
+        kernel = _make_kernel(nd, tile, pads, "spmv", win_al)
         out = pl.pallas_call(
             kernel, grid=grid,
             in_specs=[x_spec, band_spec],
@@ -174,7 +191,7 @@ def _stencil_call(band, x_pad, b, omega, npts, pads, mode, interpret=False):
             scratch_shapes=scratch, interpret=interpret,
         )(x_pad, band)
     elif mode == "residual":
-        kernel = _make_kernel(nd, tile, pads, "residual")
+        kernel = _make_kernel(nd, tile, pads, "residual", win_al)
         out = pl.pallas_call(
             kernel, grid=grid,
             in_specs=[x_spec, band_spec, vec_spec],
@@ -182,7 +199,7 @@ def _stencil_call(band, x_pad, b, omega, npts, pads, mode, interpret=False):
             scratch_shapes=scratch, interpret=interpret,
         )(x_pad, band, b)
     else:  # jacobi
-        kernel = _make_kernel_omega(nd, tile, pads)
+        kernel = _make_kernel_omega(nd, tile, pads, win_al)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[x_spec, band_spec, vec_spec],

@@ -1,0 +1,67 @@
+"""Mixed-precision defect correction + MG-PCG (SURVEY.md §7.2.1)."""
+import numpy as np
+import pytest
+
+from poms_tpu.mg.cycles import CycleConfig
+from poms_tpu.mg.mixed import MGPreconditionedCG, MixedPrecisionMG
+from poms_tpu.mg.smoother import SmootherConfig
+from poms_tpu.mg.solver import MultigridSolver
+from poms_tpu.models.poisson import l2_error_manufactured, poisson_problem
+
+
+def _cfg(omega=0.8):
+    return CycleConfig(smoother=SmootherConfig("jacobi", omega))
+
+
+def test_mixed_precision_reaches_1e10():
+    """f32 cycles + f64 residuals must still reach the 1e-10 target."""
+    prob = poisson_problem(2, 32, degree=3)
+    mg = MixedPrecisionMG(prob, num_levels=3, cfg=_cfg())
+    res = mg.solve(tol=1e-10, maxiter=100)
+    assert res.converged, res.residuals[-5:]
+    # true f64 residual check (recompute independently)
+    r = prob.b - prob.A.dot(res.x)
+    assert float(r.norm()) <= 2e-10
+
+
+def test_mixed_tracks_f64_until_f32_floor():
+    """Early cycles of the mixed scheme match the all-f64 solver closely."""
+    prob = poisson_problem(1, 64, degree=3)
+    f64 = MultigridSolver(prob, num_levels=2, cfg=_cfg(2 / 3))
+    mixed = MixedPrecisionMG(prob, num_levels=2, cfg=_cfg(2 / 3))
+    r_f64 = f64.solve(tol=1e-10, maxiter=8).residuals
+    r_mix = mixed.solve(tol=1e-10, maxiter=8).residuals
+    # the f32 error-cycle perturbs each residual at its own rounding level,
+    # so compare convergence *rates*, not values
+    for a, b in zip(r_f64[:5], r_mix[:5]):
+        assert abs(a - b) / a < 0.1
+
+
+def test_pcg_accelerates_slow_smoother():
+    """MG-PCG needs fewer iterations than plain V-cycles (p=3 regime)."""
+    prob = poisson_problem(2, 32, degree=3)
+    plain = MultigridSolver(prob, num_levels=3, cfg=_cfg())
+    pcg = MGPreconditionedCG(prob, num_levels=3, cfg=_cfg(), mixed=False)
+    res_plain = plain.solve(tol=1e-10, maxiter=100)
+    res_pcg = pcg.solve(tol=1e-10, maxiter=100)
+    assert res_pcg.converged
+    assert res_pcg.iterations < res_plain.iterations
+    r = prob.b - prob.A.dot(res_pcg.x)
+    assert float(r.norm()) <= 2e-10
+
+
+def test_pcg_mixed_precision():
+    prob = poisson_problem(2, 16, degree=2)
+    pcg = MGPreconditionedCG(prob, num_levels=2, cfg=_cfg(), mixed=True)
+    res = pcg.solve(tol=1e-10, maxiter=100)
+    assert res.converged
+    r = prob.b - prob.A.dot(res.x)
+    assert float(r.norm()) <= 2e-10
+
+
+def test_mixed_solution_accuracy():
+    prob = poisson_problem(2, 32, degree=3)
+    mg = MixedPrecisionMG(prob, num_levels=3, cfg=_cfg())
+    res = mg.solve(tol=1e-10, maxiter=100)
+    err = l2_error_manufactured(prob, res.x, pts_per_dim=64)
+    assert err < 1e-6  # discretization-limited, not precision-limited
