@@ -5,55 +5,83 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Primary metric (BASELINE.json:2): banded stencil SpMV throughput on the
-3D cubic-B-spline operator (config 3's hot kernel), f32, on one chip.
+3D cubic-B-spline operator (config 3's hot kernel), f32, one chip.
 ``vs_baseline``: achieved HBM bandwidth ÷ speed-of-light bandwidth for the
-local chip (BASELINE.md: the reference publishes no numbers, so SoL is the
-baseline; the target band is ≥ 0.8).
+local chip (BASELINE.md: the reference publishes no numbers, so the
+roofline is the baseline; the target band is ≥ 0.8).
 
-Extra rows (human-readable) go to stderr; the single JSON line is stdout.
+Each implementation runs in its own subprocess under a hard timeout — the
+TPU tunnel on this machine can stall indefinitely mid-compile, and the
+driver must always receive the JSON line.  Human-readable rows go to
+stderr.
 """
 import json
+import os
+import subprocess
 import sys
+
+TIMEOUT_S = int(os.environ.get("POMS_BENCH_TIMEOUT", "1500"))
+DIM, N, DEGREE = 3, 128, 3
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def run_impl(impl):
+    cmd = [sys.executable, "-u", "-m", "poms_tpu.bench.one_impl",
+           impl, str(DIM), str(N), str(DEGREE)]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=TIMEOUT_S,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        log(f"impl {impl}: TIMEOUT after {TIMEOUT_S}s (tunnel stall?)")
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    tail = (proc.stderr or "").strip().splitlines()[-3:]
+    log(f"impl {impl}: no result (exit {proc.returncode}); stderr tail: "
+        + " | ".join(tail))
+    return None
+
+
 def main():
-    import jax
-    import jax.numpy as jnp
+    sol = 819.0
+    try:
+        import jax
 
-    from poms_tpu.bench.roofline import bench_spmv, sol_bandwidth
+        dev = jax.devices()[0]
+        log(f"device: {dev.device_kind} (platform {dev.platform})")
+        from poms_tpu.bench.roofline import sol_bandwidth
 
-    dev = jax.devices()[0]
-    log(f"device: {dev.device_kind} (platform {dev.platform})")
-    sol = sol_bandwidth(dev)
+        sol = sol_bandwidth(dev)
+    except Exception as e:  # noqa: BLE001
+        log(f"device probe failed: {e}")
     log(f"assumed HBM SoL: {sol} GB/s")
 
-    npts = (128, 128, 128)
-    degree = 3
+    impls = os.environ.get("POMS_BENCH_IMPLS", "jnp,pallas").split(",")
     results = {}
-    for impl in ("pallas", "jnp"):
-        try:
-            r = bench_spmv(npts, degree=degree, dtype=jnp.float32,
-                           iters=20, impl=impl)
+    for impl in impls:
+        r = run_impl(impl)
+        if r is not None:
             results[impl] = r
-            log(r.row())
-        except Exception as e:  # noqa: BLE001 — report and continue
-            log(f"impl {impl} failed: {type(e).__name__}: {e}")
+            log(f"{r['name']}: {r['wall_s']*1e3:.2f} ms  "
+                f"{r['gbytes_per_s']:.1f} GB/s  {r['gnnz_per_s']:.2f} Gnnz/s"
+                f"  {r['pct_sol']:.1f}% SoL")
     if not results:
         print(json.dumps({"metric": "spmv_3d_cubic_f32_bandwidth",
                           "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0}))
         return 1
-    best_impl = max(results, key=lambda k: results[k].gbytes_per_s)
+    best_impl = max(results, key=lambda k: results[k]["gbytes_per_s"])
     best = results[best_impl]
     log(f"best impl: {best_impl}")
     print(json.dumps({
         "metric": "spmv_3d_cubic_f32_bandwidth",
-        "value": round(best.gbytes_per_s, 2),
+        "value": round(best["gbytes_per_s"], 2),
         "unit": "GB/s",
-        "vs_baseline": round(best.gbytes_per_s / sol, 4),
+        "vs_baseline": round(best["gbytes_per_s"] / sol, 4),
     }))
     return 0
 

@@ -1,0 +1,32 @@
+"""Run one SpMV benchmark impl in an isolated process.
+
+The TPU tunnel on this machine can stall indefinitely (remote-compile
+service flakiness), so ``bench.py`` executes each implementation as
+``python -m poms_tpu.bench.one_impl <impl> <d> <n> <degree>`` under a hard
+timeout and parses the single RESULT line.
+"""
+import json
+import sys
+
+
+def main():
+    impl = sys.argv[1]
+    d = int(sys.argv[2])
+    n = int(sys.argv[3])
+    degree = int(sys.argv[4])
+    iters = int(sys.argv[5]) if len(sys.argv) > 5 else 20
+
+    import jax.numpy as jnp
+
+    from poms_tpu.bench.roofline import bench_spmv
+
+    r = bench_spmv((n,) * d, degree=degree, dtype=jnp.float32, iters=iters,
+                   impl=impl)
+    print("RESULT " + json.dumps({
+        "name": r.name, "wall_s": r.wall_s, "gbytes_per_s": r.gbytes_per_s,
+        "gnnz_per_s": r.gnnz_per_s, "pct_sol": r.pct_sol,
+        "grid": list(r.grid), "dtype": r.dtype}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

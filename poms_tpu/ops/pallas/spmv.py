@@ -214,6 +214,143 @@ def _stencil_call(band, x_pad, b, omega, npts, pads, mode, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# chunked 3D kernel: grid over (tiles..., k1-chunks), out-block accumulation
+# ---------------------------------------------------------------------------
+# A fully unrolled 3D cubic kernel has (2p+1)^3 = 343 shifted MACs, which
+# blows up Mosaic compile memory (observed: compile helper OOM-killed).  So
+# the leading band offset k1 becomes a grid dimension: each grid step streams
+# one (tile, 1, 2p+1, 2p+1) band chunk and accumulates (2p+1)^2 MACs into
+# the revisited output block (the classic matmul-K-loop pattern); the x halo
+# window is DMA'd once per output tile at k1 == 0 and reused by all chunks.
+
+
+def _make_kernel_3d_chunked(tile, pads, mode, win_al, kc):
+    p1, p2, p3 = pads
+    w2, w3 = 2 * p2 + 1, 2 * p3 + 1
+
+    def body_common(k, x_hbm, band_ref, out_ref, xw, sem):
+        ids = [pl.program_id(a) for a in range(3)]
+
+        @pl.when(k == 0)
+        def _():
+            src = x_hbm.at[tuple(pl.ds(ids[a] * tile[a], win_al[a])
+                                 for a in range(3))]
+            dma = pltpu.make_async_copy(src, xw, sem)
+            dma.start()
+            dma.wait()
+
+        acc = None
+        for k2 in range(w2):
+            for k3 in range(w3):
+                coeff = band_ref[(0, slice(None), slice(None), 0, k2, k3)]
+                shifted = xw[pl.ds(k, 1), pl.ds(k2, tile[1]),
+                             pl.ds(k3, tile[2])].reshape(tile[1], tile[2])
+                term = coeff * shifted
+                acc = term if acc is None else acc + term
+        return acc.reshape(1, tile[1], tile[2])
+
+    if mode in ("spmv", "residual"):
+        def kernel(x_hbm, band_ref, *rest):
+            if mode == "spmv":
+                out_ref, xw, sem = rest
+            else:
+                b_ref, out_ref, xw, sem = rest
+            k = pl.program_id(3)
+            acc = body_common(k, x_hbm, band_ref, out_ref, xw, sem)
+
+            @pl.when(k == 0)
+            def _():
+                out_ref[...] = acc
+
+            @pl.when(k > 0)
+            def _():
+                out_ref[...] = out_ref[...] + acc
+
+            if mode == "residual":
+                @pl.when(k == kc - 1)
+                def _():
+                    out_ref[...] = b_ref[...] - out_ref[...]
+        return kernel
+
+    # jacobi: needs diag + b + omega; finalize on the last chunk
+    def kernel(omega_ref, x_hbm, band_ref, b_ref, diag_ref, *rest):
+        out_ref, xw, sem = rest
+        k = pl.program_id(3)
+        acc = body_common(k, x_hbm, band_ref, out_ref, xw, sem)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[...] = acc
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[...] = out_ref[...] + acc
+
+        @pl.when(k == kc - 1)
+        def _():
+            center = xw[pl.ds(p1, 1), pl.ds(p2, tile[1]),
+                        pl.ds(p3, tile[2])].reshape(1, tile[1], tile[2])
+            omega = omega_ref[0]
+            out_ref[...] = center + omega * (
+                b_ref[...] - out_ref[...]) / diag_ref[...]
+    return kernel
+
+
+def _stencil_call_3d(band, x_pad, b, omega, npts, pads, mode, interpret):
+    dtype = band.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    kc = 2 * pads[0] + 1
+    w2, w3 = 2 * pads[1] + 1, 2 * pads[2] + 1
+    # tiles: T1 = 1; T3 = lanes; T2 from a per-chunk VMEM budget
+    t3 = min(256, _cdiv(npts[-1], 128) * 128 if npts[-1] >= 128 else
+             _cdiv(npts[-1], 8) * 8)
+    budget = 2 * 1024 * 1024
+    t2 = budget // (w2 * w3 * t3 * itemsize)
+    t2 = max(8, min((t2 // 8) * 8, 128))
+    tile = (1, t2, t3)
+    band, x_pad, b, N, win_al = _pad_operands(band, x_pad, b, npts, pads,
+                                              tile)
+    diag = band[(...,) + tuple(pads)] if mode == "jacobi" else None
+    grid = (N[0] // tile[0], N[1] // tile[1], N[2] // tile[2], kc)
+
+    band_spec = pl.BlockSpec(
+        (1, t2, t3, 1, w2, w3),
+        lambda i, j, l, k, *_: (i, j, l, k, 0, 0),
+        memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, t2, t3), lambda i, j, l, k, *_: (i, j, l),
+                            memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    scratch = [pltpu.VMEM(win_al, dtype), pltpu.SemaphoreType.DMA]
+    out_shape = jax.ShapeDtypeStruct(N, dtype)
+    kernel = _make_kernel_3d_chunked(tile, pads, mode, win_al, kc)
+
+    if mode == "spmv":
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=[x_spec, band_spec],
+            out_specs=vec_spec, out_shape=out_shape,
+            scratch_shapes=scratch, interpret=interpret,
+        )(x_pad, band)
+    elif mode == "residual":
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=[x_spec, band_spec, vec_spec],
+            out_specs=vec_spec, out_shape=out_shape,
+            scratch_shapes=scratch, interpret=interpret,
+        )(x_pad, band, b)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[x_spec, band_spec, vec_spec, vec_spec],
+            out_specs=vec_spec, scratch_shapes=scratch)
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(jnp.asarray([omega], dtype), x_pad, band, b, diag)
+    if N != tuple(npts):
+        out = out[tuple(slice(0, n) for n in npts)]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # 1D planking
 # ---------------------------------------------------------------------------
 
@@ -257,6 +394,9 @@ def _dispatch(band, x_pad, b, omega, npts, pads, mode, interpret):
         return _unplank(out2, n)
     if nd > 3:
         raise NotImplementedError("pallas kernels cover 1D/2D/3D")
+    if nd == 3:
+        return _stencil_call_3d(band, x_pad, b, omega, npts, pads, mode,
+                                interpret)
     return _stencil_call(band, x_pad, b, omega, npts, pads, mode, interpret)
 
 

@@ -1,22 +1,26 @@
-"""Distributed multigrid over a device mesh (BASELINE.json config 4).
+"""Distributed multigrid over a device mesh (BASELINE.json configs 4/5).
 
-Architecture (round 1 — see SURVEY.md §7.1.6):
+Architecture (SURVEY.md §7.1.6–7):
 
-- The **finest level** (which dominates the cycle's work — SURVEY.md §3.2)
-  is block-partitioned over a `jax.sharding.Mesh` with one named axis per
-  grid dimension.  Smoother sweeps and residual SpMVs run inside
-  `jax.shard_map` with per-dim `ppermute` halo exchange
-  (:mod:`poms_tpu.parallel.halo`) and `psum` norms.
-- **Coarser levels** are agglomerated: the restricted residual is
-  `all_gather`-ed (tiled) and the inner cycle runs replicated on every
-  device — the standard coarse-grid agglomeration strategy.  Distributing
-  the transfer/RAP chain level-by-level is the round-2 refinement.
+- Levels ``0 .. L_dist-1`` are **block-partitioned** over a
+  `jax.sharding.Mesh` with one named axis per grid dimension: smoother
+  sweeps and residual SpMVs run inside `jax.shard_map` with per-dim
+  `ppermute` halo exchange, `psum` norms, and **distributed transfers**
+  (per-axis halo-exchange + local banded gather,
+  :mod:`poms_tpu.parallel.transfers`).
+- Levels below ``L_dist`` are **agglomerated**: the sharded RHS is
+  `all_gather`-ed (tiled) and the remaining V/W-cycle runs replicated on
+  every device — standard coarse-grid agglomeration; L_dist is chosen
+  automatically as the deepest level whose local blocks still fit the
+  smoother pads and transfer halos.
 
-Grid sizes need not divide the mesh: the fine level is padded to the next
-multiple with *decoupled identity rows* (diag 1, zero coupling, zero RHS),
-which XLA-style tiling makes exactly invisible to the solve — padded
-entries stay 0, norms and residuals are unchanged (tests assert sharded ≡
-serial to f64 roundoff).
+Alignment invariant: padded global sizes satisfy ``N_l = 2 · N_{l+1}`` per
+dim across the distributed range, so each device owns matching nested
+blocks on every distributed level and all transfer communication is a ±W
+neighbor halo.  Grid padding uses *decoupled identity rows* (diag 1, zero
+coupling, zero RHS, zero transfer weights), which keep padded entries
+exactly zero through smoothing, residuals, transfers and norms — tests
+assert sharded ≡ serial to f64 roundoff.
 """
 from __future__ import annotations
 
@@ -34,10 +38,13 @@ from poms_tpu.mg.cycles import CycleConfig, cycle
 from poms_tpu.mg.hierarchy import build_hierarchy
 from poms_tpu.mg.smoother import color_mask
 from poms_tpu.mg.solver import SolveResult
+from poms_tpu.models.bspline import prolongation_interior_1d
 from poms_tpu.models.poisson import PoissonProblem
-from poms_tpu.ops.transfer import apply_transfer
+from poms_tpu.ops.transfer import bands_from_dense
 from poms_tpu.parallel.halo import (HaloSpec, dist_norm2, dist_spmv,
                                     dist_spmv_offdiag, local_starts)
+from poms_tpu.parallel.transfers import (DistTransfer1D, build_dist_transfer,
+                                         dist_apply_transfer)
 
 __all__ = ["DistributedMG"]
 
@@ -45,11 +52,10 @@ _AXIS_NAMES = ("ax0", "ax1", "ax2", "ax3")
 
 
 def _pad_band_identity(band: np.ndarray, npts, N, pads) -> np.ndarray:
-    """Pad grid dims to N with decoupled identity rows."""
+    """Pad grid dims to N with decoupled identity rows (host, setup-time)."""
     d = len(npts)
     pad_widths = [(0, N[a] - npts[a]) for a in range(d)] + [(0, 0)] * d
     bp = np.pad(np.asarray(band), pad_widths)
-    # set diagonal 1 on padded rows
     diag_idx = tuple(pads)
     mask = np.zeros(N, bool)
     for a in range(d):
@@ -61,12 +67,25 @@ def _pad_band_identity(band: np.ndarray, npts, N, pads) -> np.ndarray:
     return bp
 
 
+class _DistLevel:
+    """Static + array data for one distributed level (host-side setup)."""
+
+    def __init__(self, band_pad, spec, N, npts, restrict, prolong):
+        self.band_pad = band_pad      # (N..., band...) with identity padding
+        self.spec = spec              # HaloSpec (pads = stencil pads)
+        self.N = N
+        self.npts = npts
+        self.restrict = restrict      # tuple[DistTransfer1D] | None
+        self.prolong = prolong        # tuple[DistTransfer1D] | None (from l+1)
+
+
 class DistributedMG:
-    """Sharded-fine-level multigrid solver (semantics ≡ MultigridSolver)."""
+    """Multilevel sharded multigrid solver (semantics ≡ MultigridSolver)."""
 
     def __init__(self, problem: PoissonProblem, num_levels: int,
                  mesh_shape: Tuple[int, ...],
-                 cfg: CycleConfig = CycleConfig(), devices=None):
+                 cfg: CycleConfig = CycleConfig(), devices=None,
+                 dist_levels: int | str = "auto"):
         if num_levels < 2:
             raise ValueError("DistributedMG needs >= 2 levels")
         if cfg.smoother.kind not in ("jacobi", "rbgs"):
@@ -74,6 +93,7 @@ class DistributedMG:
                 f"smoother {cfg.smoother.kind!r} is not distributed "
                 "(gs_lex is sequential — SURVEY.md §7.2.2)")
         d = problem.dim
+        p = problem.degree
         mesh_shape = tuple(mesh_shape) + (1,) * (d - len(mesh_shape))
         self.cfg = cfg
         self.problem = problem
@@ -86,22 +106,83 @@ class DistributedMG:
                              f"have {len(devices)}")
         self.mesh = jax.make_mesh(mesh_shape, self.names,
                                   devices=devices[:ndev])
+        self.mesh_shape = mesh_shape
+        dtype = problem.space.dtype
 
-        sp = problem.space
-        npts, pads = sp.npts, sp.pads
-        self.npts = npts
-        self.N = tuple(-(-npts[a] // mesh_shape[a]) * mesh_shape[a]
-                       for a in range(d))
-        n_loc = tuple(self.N[a] // mesh_shape[a] for a in range(d))
-        self.spec = HaloSpec.build(self.names, mesh_shape, n_loc, pads,
-                                   sp.periodic)
-        # padded fine-level data
-        fine = self.levels[0]
-        self.band_pad = jnp.asarray(
-            _pad_band_identity(np.asarray(fine.A.band), npts, self.N, pads),
-            sp.dtype)
+        # ---- choose L_dist and padded sizes (N_l = 2 N_{l+1}) ----------
+        npts_l = [lev.A.space.npts for lev in self.levels]
+        n_el = problem.n_el
+        n_el_l = [tuple(ne // (1 << l) for ne in n_el)
+                  for l in range(num_levels)]
+        max_dist = num_levels - 1 if dist_levels == "auto" else int(dist_levels)
+        max_dist = max(1, min(max_dist, num_levels - 1))
+        L = 1
+        while L < max_dist:
+            ok = True
+            for a in range(d):
+                m = mesh_shape[a]
+                # candidate coarsest-dist padded size for chain of length L+1
+                base = max(-(-npts_l[l][a] // (1 << (L - l)))
+                           for l in range(L + 1))
+                Nc = -(-base // m) * m
+                n_loc_coarse = Nc // m
+                # smoother pads + transfer halos need ~ (p + 2) points; the
+                # transfer halo width is ~ p + 2 on the coarse side
+                if n_loc_coarse < max(p, 1) + 2:
+                    ok = False
+            if not ok:
+                break
+            L += 1
+        self.L_dist = L
+
+        base_N = []
+        for a in range(d):
+            m = mesh_shape[a]
+            base = max(-(-npts_l[l][a] // (1 << (self.L_dist - 1 - l)))
+                       for l in range(self.L_dist))
+            base_N.append(-(-base // m) * m)
+        Ns = []
+        for l in range(self.L_dist):
+            Ns.append(tuple(b * (1 << (self.L_dist - 1 - l))
+                            for b in base_N))
+
+        # ---- build distributed levels ----------------------------------
+        self.dist: List[_DistLevel] = []
+        for l in range(self.L_dist):
+            lev = self.levels[l]
+            sp = lev.A.space
+            N = Ns[l]
+            n_loc = tuple(N[a] // mesh_shape[a] for a in range(d))
+            spec = HaloSpec.build(self.names, mesh_shape, n_loc, sp.pads,
+                                  sp.periodic)
+            band_pad = jnp.asarray(
+                _pad_band_identity(np.asarray(lev.A.band), sp.npts, N,
+                                   sp.pads), dtype)
+            restrict = prolong = None
+            if l + 1 < num_levels:
+                P1s = [prolongation_interior_1d(n_el_l[l + 1][a], p)
+                       for a in range(d)]
+                if l + 1 < self.L_dist:
+                    N_c = Ns[l + 1]
+                else:
+                    # transfers into the replicated range are applied after
+                    # gathering; no dist transfer needed
+                    N_c = None
+                if N_c is not None:
+                    restrict = tuple(
+                        build_dist_transfer(P1s[a].T, N_c[a], N[a],
+                                            mesh_shape[a], dtype)
+                        for a in range(d))
+                    prolong = tuple(
+                        build_dist_transfer(P1s[a], N[a], N_c[a],
+                                            mesh_shape[a], dtype)
+                        for a in range(d))
+            self.dist.append(_DistLevel(band_pad, spec, N, sp.npts,
+                                        restrict, prolong))
+
+        self.npts = npts_l[0]
+        self.N = Ns[0]
         self._grid_spec = P(*self.names)
-        self._band_spec = P(*(self.names + (None,) * d))
         self._step = jax.jit(self._build_step())
 
     # ------------------------------------------------------------------
@@ -110,83 +191,130 @@ class DistributedMG:
         return jnp.pad(arr, [(0, self.N[a] - self.npts[a])
                              for a in range(len(self.N))])
 
+    # ------------------------------------------------------------------
     def _build_step(self):
-        spec = self.spec
         cfg = self.cfg
         names = self.names
-        npts = self.npts
-        N = self.N
-        coarse_levels = self.levels[1:]
-        restrict0 = self.levels[0].restrict
-        prolong0 = self.levels[0].prolong
-        n_loc = spec.n_loc
+        d = len(names)
         omega = cfg.smoother.omega
         kind = cfg.smoother.kind
+        L_dist = self.L_dist
+        dist_meta = self.dist           # static per-level metadata
+        serial_tail = self.levels[L_dist:]   # replicated below L_dist
+        # serial-side transfers from level L_dist-1 to L_dist happen on the
+        # gathered (replicated) residual using the stock banded transfers
+        tail_restrict = self.levels[L_dist - 1].restrict
+        tail_prolong = self.levels[L_dist - 1].prolong
+        npts_boundary = self.dist[L_dist - 1].npts
+        N_boundary = self.dist[L_dist - 1].N
 
-        def smooth(band_loc, diag_loc, x_loc, b_loc):
+        def smooth(lev_i, band_loc, x_loc, b_loc):
+            spec = dist_meta[lev_i].spec
+            diag_loc = band_loc[(...,) + tuple(spec.pads)]
             if kind == "jacobi":
                 Ax = dist_spmv(band_loc, x_loc, spec)
                 return x_loc + omega * (b_loc - Ax) / diag_loc
-            # rbgs with global parity
             starts = local_starts(spec)
             for color in (0, 1):
-                mask = color_mask(n_loc, color, starts)
+                mask = color_mask(spec.n_loc, color, starts)
                 s = dist_spmv_offdiag(band_loc, x_loc, spec)
                 gs = (b_loc - s) / diag_loc
                 x_loc = jnp.where(mask, (1 - omega) * x_loc + omega * gs,
                                   x_loc)
             return x_loc
 
-        def body(band_loc, x_loc, b_loc, coarse, restr, prol):
-            diag_loc = band_loc[(...,) + tuple(spec.pads)]
-            for _ in range(cfg.nu1):
-                x_loc = smooth(band_loc, diag_loc, x_loc, b_loc)
-            r_loc = b_loc - dist_spmv(band_loc, x_loc, spec)
-            # agglomerate: tiled all_gather along each sharded dim
-            r_full = r_loc
+        def gather_full(x_loc, N, npts):
+            full = x_loc
             for a, name in enumerate(names):
-                r_full = jax.lax.all_gather(r_full, name, axis=a, tiled=True)
-            r_int = r_full[tuple(slice(0, n) for n in npts)]
-            b_c_int = apply_transfer(restr, r_int)
-            sp_c = coarse[0].A.space
-            b_c = StencilVector.from_interior(sp_c, b_c_int)
-            x_c = StencilVector.zeros(sp_c)
-            for _ in range(cfg.gamma):
-                x_c = cycle(coarse, 0, x_c, b_c, cfg)
-            corr = apply_transfer(prol, x_c.interior)
-            corr_pad = jnp.pad(corr, [(0, N[a] - npts[a])
-                                      for a in range(len(N))])
-            starts = local_starts(spec)
-            corr_loc = jax.lax.dynamic_slice(corr_pad, starts, n_loc)
-            x_loc = x_loc + corr_loc
+                full = jax.lax.all_gather(full, name, axis=a, tiled=True)
+            return full[tuple(slice(0, n) for n in npts)]
+
+        def scatter_local(x_int, N, n_loc):
+            x_pad = jnp.pad(x_int, [(0, N[a] - x_int.shape[a])
+                                    for a in range(d)])
+            starts = []
+            for a, name in enumerate(names):
+                starts.append(jax.lax.axis_index(name) * n_loc[a])
+            return jax.lax.dynamic_slice(x_pad, tuple(starts), n_loc)
+
+        def vcycle_local(l, x_loc, b_loc, bands, transfers, tail, tail_tr):
+            # all ARRAY data (bands, transfer tables, serial-tail levels)
+            # flows through explicit shard_map args; only static metadata
+            # (specs, sizes) is closed over.
+            meta = dist_meta[l]
+            band_loc = bands[l]
+            for _ in range(cfg.nu1):
+                x_loc = smooth(l, band_loc, x_loc, b_loc)
+            r_loc = b_loc - dist_spmv(band_loc, x_loc, meta.spec)
+            if l + 1 < L_dist:
+                restr, prol = transfers[l]
+                b_c = dist_apply_transfer(restr, r_loc, meta.spec.axes,
+                                          names)
+                x_c = jnp.zeros_like(b_c)
+                for _ in range(cfg.gamma):
+                    x_c = vcycle_local(l + 1, x_c, b_c, bands, transfers,
+                                       tail, tail_tr)
+                corr = dist_apply_transfer(prol, x_c,
+                                           dist_meta[l + 1].spec.axes, names)
+            else:
+                # agglomerate: gather residual, run the serial tail cycle
+                from poms_tpu.ops.transfer import apply_transfer
+
+                t_restrict, t_prolong = tail_tr
+                r_int = gather_full(r_loc, meta.N, meta.npts)
+                b_c_int = apply_transfer(t_restrict, r_int)
+                sp_c = tail[0].A.space
+                b_c = StencilVector.from_interior(sp_c, b_c_int)
+                x_c = StencilVector.zeros(sp_c)
+                for _ in range(cfg.gamma):
+                    x_c = cycle(tail, 0, x_c, b_c, cfg)
+                corr_int = apply_transfer(t_prolong, x_c.interior)
+                corr = scatter_local(corr_int, meta.N, meta.spec.n_loc)
+            x_loc = x_loc + corr
             for _ in range(cfg.nu2):
-                x_loc = smooth(band_loc, diag_loc, x_loc, b_loc)
-            r_loc = b_loc - dist_spmv(band_loc, x_loc, spec)
-            rn = dist_norm2(r_loc, spec)
+                x_loc = smooth(l, band_loc, x_loc, b_loc)
+            return x_loc
+
+        def body(x_loc, b_loc, bands, transfers, tail, tail_tr):
+            x_loc = vcycle_local(0, x_loc, b_loc, bands, transfers, tail,
+                                 tail_tr)
+            spec0 = dist_meta[0].spec
+            r_loc = b_loc - dist_spmv(bands[0], x_loc, spec0)
+            rn = dist_norm2(r_loc, spec0)
             return x_loc, rn
 
         rep = P()
-        coarse_specs = jax.tree.map(lambda _: rep, coarse_levels)
-        restr_specs = jax.tree.map(lambda _: rep, restrict0)
-        prol_specs = jax.tree.map(lambda _: rep, prolong0)
-        return jax.shard_map(
+        band_specs = [P(*(names + (None,) * d)) for _ in range(L_dist)]
+        bands = [lv.band_pad for lv in self.dist]
+        transfers = [(self.dist[l].restrict, self.dist[l].prolong)
+                     for l in range(L_dist - 1)]
+        tail_tr = (tail_restrict, tail_prolong)
+
+        smap = jax.shard_map(
             body, mesh=self.mesh,
-            in_specs=(self._band_spec, self._grid_spec, self._grid_spec,
-                      coarse_specs, restr_specs, prol_specs),
+            in_specs=(self._grid_spec, self._grid_spec,
+                      band_specs,
+                      jax.tree.map(lambda _: rep, transfers),
+                      jax.tree.map(lambda _: rep, serial_tail),
+                      jax.tree.map(lambda _: rep, tail_tr)),
             out_specs=(self._grid_spec, rep))
+
+        def step(x_glob, b_glob):
+            return smap(x_glob, b_glob, bands, transfers, serial_tail,
+                        tail_tr)
+
+        return step
 
     # ------------------------------------------------------------------
     def step(self, x_glob: jnp.ndarray, b_glob: jnp.ndarray):
         """One cycle on padded global arrays; returns (x, ‖r‖)."""
-        return self._step(self.band_pad, x_glob, b_glob, self.levels[1:],
-                          self.levels[0].restrict, self.levels[0].prolong)
+        return self._step(x_glob, b_glob)
 
     def solve(self, b: StencilVector = None, tol: float = 1e-10,
               maxiter: int = 50) -> SolveResult:
         b = b if b is not None else self.problem.b
         b_glob = self._pad_global(b.interior)
         x_glob = jnp.zeros_like(b_glob)
-        # r0 = ||b|| since x0 = 0
         residuals = [float(jnp.linalg.norm(b.interior))]
         wall = []
         it, converged = 0, residuals[-1] <= tol

@@ -128,3 +128,40 @@ def test_dist_rejects_gs_lex():
     with pytest.raises(ValueError, match="not distributed"):
         DistributedMG(prob, num_levels=2, mesh_shape=(4,),
                       cfg=CycleConfig(smoother=SmootherConfig("gs_lex")))
+
+
+@pytest.mark.parametrize("dim,n_el,mesh_shape,levels", [
+    (1, 128, (4,), 3),
+    (2, 32, (2, 2), 3),
+    (2, 64, (4, 2), 4),
+])
+def test_multilevel_distributed_transfers(dim, n_el, mesh_shape, levels):
+    """Grids big enough that >= 2 levels stay sharded: the distributed
+    per-axis transfer path must reproduce the serial solver exactly."""
+    prob = poisson_problem(dim, n_el, degree=2)
+    cfg = CycleConfig(smoother=SmootherConfig(kind="jacobi", omega=0.7))
+    dist = DistributedMG(prob, num_levels=levels, mesh_shape=mesh_shape,
+                         cfg=cfg)
+    assert dist.L_dist >= 2, "test intends to exercise distributed transfers"
+    serial = MultigridSolver(prob, num_levels=levels, cfg=cfg)
+    res_s = serial.solve(tol=1e-9, maxiter=50)
+    res_d = dist.solve(tol=1e-9, maxiter=50)
+    assert res_d.converged and res_d.iterations == res_s.iterations
+    np.testing.assert_allclose(res_d.residuals, res_s.residuals,
+                               rtol=1e-6, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(res_d.x.interior),
+                               np.asarray(res_s.x.interior),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_multilevel_dist_rbgs():
+    prob = poisson_problem(2, 32, degree=2)
+    cfg = CycleConfig(smoother=SmootherConfig(kind="rbgs", omega=1.0))
+    dist = DistributedMG(prob, num_levels=3, mesh_shape=(4, 2), cfg=cfg)
+    assert dist.L_dist >= 2
+    serial = MultigridSolver(prob, num_levels=3, cfg=cfg)
+    res_s = serial.solve(tol=1e-9, maxiter=60)
+    res_d = dist.solve(tol=1e-9, maxiter=60)
+    assert res_d.iterations == res_s.iterations
+    np.testing.assert_allclose(res_d.residuals, res_s.residuals,
+                               rtol=1e-6, atol=1e-13)

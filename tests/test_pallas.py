@@ -39,7 +39,10 @@ def test_spmv_pallas_interpret(npts, p):
     band, xpad, b = _setup(npts, p)
     ref = spmv_banded_jnp(band, xpad, npts, pads)
     out = spmv_banded_pallas(band, xpad, npts, pads, interpret=True)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # 3D uses chunked accumulation (different f32 summation order), so
+    # tight-allclose rather than bit-equal
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("npts,p", CASES[::2])
@@ -49,7 +52,8 @@ def test_residual_fused_interpret(npts, p):
     band, xpad, b = _setup(npts, p, seed=1)
     ref = b - spmv_banded_jnp(band, xpad, npts, pads)
     out = residual_fused_pallas(band, xpad, b, npts, pads, interpret=True)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("npts,p", CASES[::2])
@@ -57,9 +61,12 @@ def test_jacobi_fused_interpret(npts, p):
     d = len(npts)
     pads = (p,) * d
     band, xpad, b = _setup(npts, p, seed=2)
+    # real smoothers divide by a diagonally-dominant diagonal; a random
+    # near-zero diag would just amplify f32 summation-order noise
+    band = band.at[(...,) + pads].set(band[(...,) + pads] + 5.0)
     diag = band[(...,) + pads]
     xc = xpad[tuple(slice(p, p + n) for n in npts)]
     ref = xc + jnp.float32(0.7) * (b - spmv_banded_jnp(band, xpad, npts, pads)) / diag
     out = jacobi_fused_pallas(band, xpad, b, 0.7, npts, pads, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-6, atol=1e-6)
+                               rtol=3e-5, atol=3e-6)
