@@ -35,31 +35,35 @@ def _coarse_solve(level: Level, b: StencilVector) -> StencilVector:
 
 
 def cycle(levels: List[Level], l: int, x: StencilVector, b: StencilVector,
-          cfg: CycleConfig) -> StencilVector:
+          cfg: CycleConfig, lams=None) -> StencilVector:
     """One γ-cycle starting at level ``l`` (0 = finest)."""
     level = levels[l]
+    lam = lams[l] if lams is not None else None
     if level.chol is not None:  # coarsest
         return _coarse_solve(level, b)
     for _ in range(cfg.nu1):
-        x = smooth_step(level.A, x, b, cfg.smoother)
+        x = smooth_step(level.A, x, b, cfg.smoother, lam_max=lam)
     sp = level.A.space
-    r_int = _ops.residual(level.A.band, x.update_ghost_regions().data,
-                          b.interior, sp.npts, sp.pads)
+    if hasattr(level.A, "band"):  # fused residual kernel
+        r_int = _ops.residual(level.A.band, x.update_ghost_regions().data,
+                              b.interior, sp.npts, sp.pads)
+    else:
+        r_int = b.interior - level.A.dot(x).interior
     b_c_int = apply_transfer(level.restrict, r_int)
     sp_c = levels[l + 1].A.space
     b_c = StencilVector.from_interior(sp_c, b_c_int)
     x_c = StencilVector.zeros(sp_c)
     for _ in range(cfg.gamma):
-        x_c = cycle(levels, l + 1, x_c, b_c, cfg)
+        x_c = cycle(levels, l + 1, x_c, b_c, cfg, lams)
     corr_int = apply_transfer(level.prolong, x_c.interior)
     x = StencilVector.from_interior(level.A.space, x.interior + corr_int)
     for _ in range(cfg.nu2):
-        x = smooth_step(level.A, x, b, cfg.smoother)
+        x = smooth_step(level.A, x, b, cfg.smoother, lam_max=lam)
     return x
 
 
 def fmg(levels: List[Level], b: StencilVector, cfg: CycleConfig,
-        cycles_per_level: int = 1) -> StencilVector:
+        cycles_per_level: int = 1, lams=None) -> StencilVector:
     """Full multigrid (nested iteration): coarsest solve, prolong, γ-cycle.
 
     Per-level right-hand sides are the restrictions of ``b`` down the
@@ -75,5 +79,5 @@ def fmg(levels: List[Level], b: StencilVector, cfg: CycleConfig,
         x_int = apply_transfer(levels[l].prolong, x.interior)
         x = StencilVector.from_interior(levels[l].A.space, x_int)
         for _ in range(cycles_per_level):
-            x = cycle(levels, l, x, bs[l], cfg)
+            x = cycle(levels, l, x, bs[l], cfg, lams)
     return x

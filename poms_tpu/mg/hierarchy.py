@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from poms_tpu.core.matrix import StencilMatrix
@@ -120,8 +121,22 @@ def _tensor_coarse_operator(splines, P1s, dim, degree, space_dtype,
     return coarse_1d
 
 
+def _kron_operator_from_1d(bands_1d, space):
+    """Kronecker-sum operator Σ_a ⊗(K/M) from per-dim (K, M) band pairs."""
+    from poms_tpu.core.kron import KroneckerSumOperator
+
+    d = len(bands_1d)
+    Ks = [b[0] for b in bands_1d]
+    Ms = [b[1] for b in bands_1d]
+    # share band objects across terms so the apply can reuse partials
+    Kj = [jnp.asarray(K, space.dtype) for K in Ks]
+    Mj = [jnp.asarray(M, space.dtype) for M in Ms]
+    terms = [[Kj[b] if b == a else Mj[b] for b in range(d)] for a in range(d)]
+    return KroneckerSumOperator(space, terms)
+
+
 def build_hierarchy(problem: PoissonProblem, num_levels: int,
-                    method: str = "auto"):
+                    method: str = "auto", operator: str = "banded"):
     """Levels finest→coarsest for a tensor-product B-spline Poisson problem.
 
     Each coarsening halves n_el per dim (requires divisibility).  The
@@ -133,7 +148,13 @@ def build_hierarchy(problem: PoissonProblem, num_levels: int,
                  structure (identical result for these problems, scales to
                  3D grids where the d-D SpGEMM expansion would not);
       'auto'   — 'tensor' when the fine grid exceeds ~10⁶ rows.
+
+    ``operator``: per-level operator format —
+      'banded' — general StencilMatrix (default; Pallas/jnp banded SpMV);
+      'kron'   — structure-exploiting KroneckerSumOperator (O(n) memory,
+                 ~3× less SpMV traffic; forces method='tensor').
     """
+    import jax.numpy as jnp
     import numpy as np
 
     from poms_tpu.models.poisson import _kron_sum_band
@@ -142,6 +163,10 @@ def build_hierarchy(problem: PoissonProblem, num_levels: int,
     d = problem.dim
     n_el = problem.n_el
     A = problem.A
+    if operator == "kron":
+        method = "tensor"
+        A = _kron_operator_from_1d([(s.K, s.M) for s in problem.splines],
+                                   A.space)
     if method == "auto":
         method = "tensor" if A.space.size > 1_000_000 else "spgemm"
     bands_1d = [(s.K, s.M) for s in problem.splines]
@@ -165,12 +190,15 @@ def build_hierarchy(problem: PoissonProblem, num_levels: int,
                 npts=coarse_npts, pads=(p,) * d, periodic=A.space.periodic,
                 dtype=A.space.dtype)
 
-            class _S:  # adapter for _kron_sum_band's (K, M) attribute shape
-                def __init__(self, K, M):
-                    self.K, self.M = K, M
+            if operator == "kron":
+                A_c = _kron_operator_from_1d(bands_1d, coarse_space)
+            else:
+                class _S:  # adapter for _kron_sum_band's (K, M) attributes
+                    def __init__(self, K, M):
+                        self.K, self.M = K, M
 
-            band_c = _kron_sum_band([_S(K, M) for K, M in bands_1d])
-            A_c = StencilMatrix.from_band(coarse_space, band_c)
+                band_c = _kron_sum_band([_S(K, M) for K, M in bands_1d])
+                A_c = StencilMatrix.from_band(coarse_space, band_c)
         else:
             A_c = galerkin_coarse_operator(A, P1s, coarse_npts, (p,) * d)
         levels.append(Level(A=A, restrict=restrict, prolong=prolong, chol=None))

@@ -63,9 +63,17 @@ class MixedPrecisionMG:
         if problem.space.dtype != jnp.dtype(jnp.float64):
             raise ValueError("build the problem in f64; the low-precision "
                              "hierarchy is derived from it")
+        from dataclasses import replace as _dc_replace
+
+        from poms_tpu.mg.smoother import (attach_spectral_estimates,
+                                          resolve_omega)
+
         self.problem = problem
-        self.cfg = cfg
         self.levels64 = build_hierarchy(problem, num_levels)
+        cfg = _dc_replace(cfg, smoother=resolve_omega(cfg.smoother,
+                                                      self.levels64[0].A))
+        self.cfg = cfg
+        lams = attach_spectral_estimates(self.levels64, cfg.smoother)
         self.levels32 = _cast_levels(self.levels64, low_dtype)
         self.low_dtype = low_dtype
         A64 = self.levels64[0].A
@@ -77,7 +85,8 @@ class MixedPrecisionMG:
             safe = jnp.where(scale > 0, scale, 1.0)
             r32 = StencilVector.from_interior(
                 sp32, (r.interior / safe).astype(low_dtype))
-            e32 = cycle(levels32, 0, StencilVector.zeros(sp32), r32, cfg)
+            e32 = cycle(levels32, 0, StencilVector.zeros(sp32), r32, cfg,
+                        lams)
             e = e32.interior.astype(jnp.float64) * safe
             x = StencilVector.from_interior(x.space, x.interior + e)
             rn = (b - levels64[0].A.dot(x)).norm()
@@ -118,9 +127,17 @@ class MGPreconditionedCG:
     def __init__(self, problem: PoissonProblem, num_levels: int,
                  cfg: CycleConfig = CycleConfig(), mixed: bool = True,
                  low_dtype=jnp.float32):
+        from dataclasses import replace as _dc_replace
+
+        from poms_tpu.mg.smoother import (attach_spectral_estimates,
+                                          resolve_omega)
+
         self.problem = problem
-        self.cfg = cfg
         self.levels = build_hierarchy(problem, num_levels)
+        cfg = _dc_replace(cfg, smoother=resolve_omega(cfg.smoother,
+                                                      self.levels[0].A))
+        self.cfg = cfg
+        lams = attach_spectral_estimates(self.levels, cfg.smoother)
         self.mixed = mixed and problem.space.dtype == jnp.dtype(jnp.float64)
         self.levels_pre = (_cast_levels(self.levels, low_dtype)
                           if self.mixed else self.levels)
@@ -133,7 +150,7 @@ class MGPreconditionedCG:
             r_lo = StencilVector.from_interior(
                 sp_pre, (r.interior / safe).astype(sp_pre.dtype))
             z_lo = cycle(levels_pre, 0, StencilVector.zeros(sp_pre), r_lo,
-                         cfg)
+                         cfg, lams)
             z = z_lo.interior.astype(r.space.dtype) * safe
             return StencilVector.from_interior(r.space, z)
 

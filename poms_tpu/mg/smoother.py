@@ -40,8 +40,65 @@ __all__ = ["SmootherConfig", "smooth_step", "color_mask",
 
 @dataclass(frozen=True)
 class SmootherConfig:
-    kind: str = "jacobi"       # 'jacobi' | 'rbgs' | 'gs_lex'
-    omega: float = 2.0 / 3.0   # damping / SOR factor
+    kind: str = "jacobi"       # 'jacobi' | 'rbgs' | 'gs_lex' | 'chebyshev'
+    omega: float | None = None  # damping / SOR factor; None = auto
+    cheb_degree: int = 4       # polynomial degree for 'chebyshev'
+    cheb_fraction: float = 4.0  # smooth [λmax/fraction, λmax]
+    # Auto damping: the classic ω = 2/3 assumes λmax(D⁻¹A) ≈ 2 (low-order
+    # FD stencils).  B-spline operators are worse-conditioned in D⁻¹A —
+    # measured λmax: 1.59 (1D p3), 1.93 (2D p3), 3.41 (3D p3) — so a fixed
+    # 2/3 DIVERGES for 3D cubics.  ``None`` makes the solver estimate λmax
+    # by power iteration at setup and use ω = (4/3)/λmax (reduces to ~2/3
+    # exactly when λmax = 2).
+
+
+def estimate_dinv_a_lambda_max(A, iters: int = 30, seed: int = 0) -> float:
+    """Power-method estimate of λmax(D⁻¹A) (device-side, setup-time)."""
+    import numpy as np
+
+    sp = A.space
+    rng = np.random.default_rng(seed)
+    diag = A.diagonal()
+    x = jnp.asarray(rng.standard_normal(sp.npts), sp.dtype)
+
+    @jax.jit
+    def iterate(x):
+        def body(_, x):
+            v = StencilVector.from_interior(sp, x)
+            y = A.dot(v).interior / diag
+            return y / jnp.linalg.norm(y)
+
+        x = jax.lax.fori_loop(0, iters, body, x / jnp.linalg.norm(x))
+        v = StencilVector.from_interior(sp, x)
+        y = A.dot(v).interior / diag
+        return jnp.vdot(x, y) / jnp.vdot(x, x)
+
+    return float(iterate(x))
+
+
+def resolve_omega(cfg: "SmootherConfig", A) -> "SmootherConfig":
+    """Fill in an automatic damping factor when omega is None."""
+    from dataclasses import replace as _dc_replace
+
+    if cfg.omega is not None or cfg.kind == "chebyshev":
+        return cfg
+    if cfg.kind in ("rbgs", "gs_lex"):
+        return _dc_replace(cfg, omega=1.0)  # GS: ω=1 is safe
+    lam = estimate_dinv_a_lambda_max(A) * 1.05  # safety margin
+    return _dc_replace(cfg, omega=min(4.0 / 3.0 / lam, 1.0))
+
+
+def attach_spectral_estimates(levels, cfg: "SmootherConfig"):
+    """Per-level λmax(D⁻¹A) estimates (tuple of floats, coarsest None)."""
+    if cfg.kind != "chebyshev":
+        return tuple(None for _ in levels)
+    lams = []
+    for lev in levels:
+        if getattr(lev, "chol", None) is not None:
+            lams.append(None)  # coarsest solves directly
+        else:
+            lams.append(estimate_dinv_a_lambda_max(lev.A) * 1.02)
+    return tuple(lams)
 
 
 def color_mask(npts: Tuple[int, ...], color: int,
@@ -61,23 +118,33 @@ def color_mask(npts: Tuple[int, ...], color: int,
     return (total % 2) == color
 
 
-def jacobi_step(A: StencilMatrix, x: StencilVector, b: StencilVector,
+def jacobi_step(A, x: StencilVector, b: StencilVector,
                 omega: float) -> StencilVector:
     sp = A.space
-    xg = x.update_ghost_regions()
-    x_new = _ops.jacobi(A.band, xg.data, b.interior, omega, sp.npts, sp.pads)
+    if hasattr(A, "band"):  # banded stencil: fused (Pallas) path
+        xg = x.update_ghost_regions()
+        x_new = _ops.jacobi(A.band, xg.data, b.interior, omega, sp.npts,
+                            sp.pads)
+        return StencilVector.from_interior(sp, x_new)
+    # generic linear operator (e.g. KroneckerSumOperator)
+    r = b.interior - A.dot(x).interior
+    x_new = x.interior + omega * r / A.diagonal()
     return StencilVector.from_interior(sp, x_new)
 
 
-def rbgs_step(A: StencilMatrix, x: StencilVector, b: StencilVector,
+def rbgs_step(A, x: StencilVector, b: StencilVector,
               omega: float,
               starts: Tuple[int, ...] | None = None) -> StencilVector:
     sp = A.space
     diag = A.diagonal()
+    banded = hasattr(A, "band")
     for color in (0, 1):
         mask = color_mask(sp.npts, color, starts)
-        xg = x.update_ghost_regions()
-        s = spmv_offdiag_jnp(A.band, xg.data, sp.npts, sp.pads)
+        if banded:
+            xg = x.update_ghost_regions()
+            s = spmv_offdiag_jnp(A.band, xg.data, sp.npts, sp.pads)
+        else:  # generic operator: offdiag = A x − diag·x
+            s = A.dot(x).interior - diag * x.interior
         gs_val = (b.interior - s) / diag
         x_new = jnp.where(mask, (1.0 - omega) * x.interior + omega * gs_val,
                           x.interior)
@@ -127,13 +194,61 @@ def gs_lex_step(A: StencilMatrix, x: StencilVector, b: StencilVector,
     return StencilVector(sp, x_pad)
 
 
-def smooth_step(A: StencilMatrix, x: StencilVector, b: StencilVector,
+def chebyshev_step(A, x: StencilVector, b: StencilVector,
+                   lam_max: float, degree: int = 4,
+                   fraction: float = 4.0) -> StencilVector:
+    """One degree-k Chebyshev smoothing application on D⁻¹A.
+
+    Standard preconditioned Chebyshev iteration targeting the smoothing
+    interval [λmax/fraction, λmax] — the production smoother for operators
+    whose damped-Jacobi factor degrades (high-degree B-splines: SURVEY.md
+    §7.2 and PAPERS.md smoother literature).  Fully parallel: ``degree``
+    SpMVs, no sequential dependencies or color masks.
+    """
+    sp = A.space
+    lam_min = lam_max / fraction
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    diag = A.diagonal()
+
+    def resid(xv):
+        if hasattr(A, "band"):
+            from poms_tpu.ops import dispatch as _opsd
+
+            return _opsd.residual(A.band, xv.update_ghost_regions().data,
+                                  b.interior, sp.npts, sp.pads)
+        return b.interior - A.dot(xv).interior
+
+    z = resid(x) / diag
+    d = z / theta
+    x = StencilVector.from_interior(sp, x.interior + d)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    for _ in range(degree - 1):
+        z = resid(x) / diag
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * z
+        x = StencilVector.from_interior(sp, x.interior + d)
+        rho = rho_new
+    return x
+
+
+def smooth_step(A, x: StencilVector, b: StencilVector,
                 cfg: SmootherConfig,
-                starts: Tuple[int, ...] | None = None) -> StencilVector:
+                starts: Tuple[int, ...] | None = None,
+                lam_max: float | None = None) -> StencilVector:
     if cfg.kind == "jacobi":
         return jacobi_step(A, x, b, cfg.omega)
+    if cfg.kind == "chebyshev":
+        if lam_max is None:
+            raise ValueError("chebyshev smoother needs a per-level lam_max "
+                             "(attach_spectral_estimates)")
+        return chebyshev_step(A, x, b, lam_max, cfg.cheb_degree,
+                              cfg.cheb_fraction)
     if cfg.kind == "rbgs":
         return rbgs_step(A, x, b, cfg.omega, starts)
     if cfg.kind == "gs_lex":
+        if not hasattr(A, "band"):
+            raise NotImplementedError("gs_lex needs the banded format")
         return gs_lex_step(A, x, b, cfg.omega)
     raise ValueError(f"unknown smoother {cfg.kind!r}")

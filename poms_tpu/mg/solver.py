@@ -41,20 +41,30 @@ class MultigridSolver:
     """Geometric multigrid solver for tensor-product B-spline problems."""
 
     def __init__(self, problem: PoissonProblem, num_levels: int,
-                 cfg: CycleConfig = CycleConfig()):
+                 cfg: CycleConfig = CycleConfig(), operator: str = "banded"):
+        from dataclasses import replace as _dc_replace
+
+        from poms_tpu.mg.smoother import (attach_spectral_estimates,
+                                          resolve_omega)
+
         self.problem = problem
+        self.levels: List[Level] = build_hierarchy(problem, num_levels,
+                                                   operator=operator)
+        cfg = _dc_replace(cfg, smoother=resolve_omega(cfg.smoother,
+                                                      self.levels[0].A))
         self.cfg = cfg
-        self.levels: List[Level] = build_hierarchy(problem, num_levels)
+        self.lams = attach_spectral_estimates(self.levels, cfg.smoother)
+        lams = self.lams
 
         def step(levels, x, b):
-            x = cycle(levels, 0, x, b, cfg)
+            x = cycle(levels, 0, x, b, cfg, lams)
             r = b - levels[0].A.dot(x)
             return x, r.norm()
 
         self._step = jax.jit(step)
 
         def fmg_start(levels, b):
-            return fmg(levels, b, cfg)
+            return fmg(levels, b, cfg, lams=lams)
 
         self._fmg = jax.jit(fmg_start)
 
@@ -120,7 +130,7 @@ class MultigridSolver:
 
             def body(state):
                 x, _, it = state
-                x = cycle(levels, 0, x, b, cfg)
+                x = cycle(levels, 0, x, b, cfg, self.lams)
                 rn = (b - levels[0].A.dot(x)).norm()
                 return x, rn, it + 1
 

@@ -71,8 +71,15 @@ def _kron_sum_band(splines, dtype=None):
 
 
 def poisson_problem(dim: int, n_el, degree: int = 3,
-                    dtype=jnp.float64) -> PoissonProblem:
-    """Assemble the d-D Poisson system (stiffness A, manufactured-RHS b)."""
+                    dtype=jnp.float64,
+                    operator: str = "banded") -> PoissonProblem:
+    """Assemble the d-D Poisson system (stiffness A, manufactured-RHS b).
+
+    ``operator='banded'`` materializes the full (2p+1)^d-per-point band on
+    device (GB-scale for large 3D grids); ``'kron'`` keeps A in the O(n)
+    Kronecker-sum form (core/kron.py) — required for grids where the band
+    would not fit HBM.
+    """
     if isinstance(n_el, int):
         n_el = (n_el,) * dim
     n_el = tuple(int(x) for x in n_el)
@@ -82,8 +89,13 @@ def poisson_problem(dim: int, n_el, degree: int = 3,
     npts = tuple(s.n for s in splines)
     space = StencilVectorSpace(npts=npts, pads=degree, periodic=False,
                                dtype=dtype)
-    band = _kron_sum_band(splines, dtype)
-    A = StencilMatrix.from_band(space, band)
+    if operator == "kron":
+        from poms_tpu.mg.hierarchy import _kron_operator_from_1d
+
+        A = _kron_operator_from_1d([(s.K, s.M) for s in splines], space)
+    else:
+        band = _kron_sum_band(splines, dtype)
+        A = StencilMatrix.from_band(space, band)
     # RHS: f = d π² Π sin(π x_a)  →  b = d π² ⊗_a s_a  (device outer product)
     moments = [jnp.asarray(sin_moment_1d(s, m=1, interior=True), dtype)
                for s in splines]

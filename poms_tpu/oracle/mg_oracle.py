@@ -44,9 +44,11 @@ class OracleMG:
 
     def __init__(self, problem: PoissonProblem, num_levels: int,
                  nu1: int = 2, nu2: int = 2, gamma: int = 1,
-                 smoother: str = "jacobi", omega: float = 2.0 / 3.0):
+                 smoother: str = "jacobi", omega: float = 2.0 / 3.0,
+                 cheb_degree: int = 4, cheb_fraction: float = 4.0):
         self.nu1, self.nu2, self.gamma = nu1, nu2, gamma
         self.smoother, self.omega = smoother, omega
+        self.cheb_degree, self.cheb_fraction = cheb_degree, cheb_fraction
         p = problem.degree
         n_el = problem.n_el
         A = problem.A.tocsr()
@@ -66,6 +68,15 @@ class OracleMG:
             npts = tuple(nec + p - 2 for nec in n_el_c)
         self.levels.append(_OLevel(A=A, diag=A.diagonal(), P=None, R=None,
                                    lu=spla.splu(A.tocsc()), npts=npts))
+        # per-level Chebyshev spectral bounds mirroring
+        # mg.smoother.estimate_dinv_a_lambda_max (same seed/iters/margin)
+        self.lams = []
+        if smoother == "chebyshev":
+            for lev in self.levels:
+                if lev.lu is not None:
+                    self.lams.append(None)
+                else:
+                    self.lams.append(self._lam_max(lev) * 1.02)
 
     # -- smoothers (must mirror mg/smoother.py exactly) --------------------
     def _color_mask(self, npts, color):
@@ -76,8 +87,35 @@ class OracleMG:
             total = total + np.arange(n).reshape(shape)
         return ((total % 2) == color).ravel()
 
-    def _smooth(self, lev: _OLevel, x, b):
+    def _lam_max(self, lev: _OLevel, iters: int = 30, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal(lev.npts).ravel()
+        x = x / np.linalg.norm(x)
+        for _ in range(iters):
+            y = (lev.A @ x) / lev.diag
+            x = y / np.linalg.norm(y)
+        y = (lev.A @ x) / lev.diag
+        return float(np.vdot(x, y) / np.vdot(x, x))
+
+    def _smooth(self, lev: _OLevel, x, b, lam=None):
         A, d, w = lev.A, lev.diag, self.omega
+        if self.smoother == "chebyshev":
+            lam_max = lam
+            lam_min = lam_max / self.cheb_fraction
+            theta = 0.5 * (lam_max + lam_min)
+            delta = 0.5 * (lam_max - lam_min)
+            z = (b - A @ x) / d
+            dd = z / theta
+            x = x + dd
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            for _ in range(self.cheb_degree - 1):
+                z = (b - A @ x) / d
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                dd = rho_new * rho * dd + (2.0 * rho_new / delta) * z
+                x = x + dd
+                rho = rho_new
+            return x
         if self.smoother == "jacobi":
             return x + w * (b - A @ x) / d
         if self.smoother == "rbgs":
@@ -104,8 +142,9 @@ class OracleMG:
         lev = self.levels[l]
         if lev.lu is not None:
             return lev.lu.solve(b)
+        lam = self.lams[l] if self.smoother == "chebyshev" else None
         for _ in range(self.nu1):
-            x = self._smooth(lev, x, b)
+            x = self._smooth(lev, x, b, lam)
         r = b - lev.A @ x
         bc = lev.R @ r
         xc = np.zeros(self.levels[l + 1].A.shape[0])
@@ -113,7 +152,7 @@ class OracleMG:
             xc = self.cycle(l + 1, xc, bc)
         x = x + lev.P @ xc
         for _ in range(self.nu2):
-            x = self._smooth(lev, x, b)
+            x = self._smooth(lev, x, b, lam)
         return x
 
     def fmg(self, b, cycles_per_level: int = 1):

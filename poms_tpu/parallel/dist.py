@@ -92,12 +92,18 @@ class DistributedMG:
             raise ValueError(
                 f"smoother {cfg.smoother.kind!r} is not distributed "
                 "(gs_lex is sequential — SURVEY.md §7.2.2)")
+        from dataclasses import replace as _dc_replace
+
+        from poms_tpu.mg.smoother import resolve_omega
+
         d = problem.dim
         p = problem.degree
         mesh_shape = tuple(mesh_shape) + (1,) * (d - len(mesh_shape))
-        self.cfg = cfg
         self.problem = problem
         self.levels = build_hierarchy(problem, num_levels)
+        cfg = _dc_replace(cfg, smoother=resolve_omega(cfg.smoother,
+                                                      self.levels[0].A))
+        self.cfg = cfg
         self.names = _AXIS_NAMES[:d]
         devices = devices if devices is not None else jax.devices()
         ndev = math.prod(mesh_shape)

@@ -161,3 +161,41 @@ def test_gs_lex_smoother_in_cycle():
     _, hist = oracle.solve(np.asarray(prob.b.interior).ravel(), tol=1e-10,
                            maxiter=30)
     np.testing.assert_allclose(res.residuals, hist, rtol=1e-4, atol=1e-13)
+
+
+def test_chebyshev_smoother_parity_and_speed():
+    """Chebyshev(4) cycles: oracle parity, and MG-PCG wrapping handles the
+    spline pathology (small-eigenvalue high-frequency modes stall plain
+    cycles of ANY pointwise smoother at high p — SURVEY.md §7.2)."""
+    prob = poisson_problem(3, 8, degree=3)
+    cfg = CycleConfig(nu1=1, nu2=1,
+                      smoother=SmootherConfig(kind="chebyshev"))
+    mg = MultigridSolver(prob, num_levels=2, cfg=cfg)
+    res = mg.solve(tol=1e-10, maxiter=10)  # parity over the first cycles
+    oracle = OracleMG(prob, num_levels=2, nu1=1, nu2=1,
+                      smoother="chebyshev")
+    _, hist = oracle.solve(np.asarray(prob.b.interior).ravel(), tol=1e-10,
+                           maxiter=10)
+    assert len(hist) == len(res.residuals)
+    np.testing.assert_allclose(res.residuals, hist, rtol=1e-4, atol=1e-13)
+
+    # the production configuration: Chebyshev cycles inside flexible CG
+    from poms_tpu.mg.mixed import MGPreconditionedCG
+
+    cfg16 = CycleConfig(nu1=1, nu2=1,
+                        smoother=SmootherConfig(kind="chebyshev",
+                                                cheb_fraction=16.0))
+    pcg = MGPreconditionedCG(prob, num_levels=2, cfg=cfg16, mixed=False)
+    res_pcg = pcg.solve(tol=1e-10, maxiter=30)
+    assert res_pcg.converged and res_pcg.iterations <= 16
+
+
+def test_auto_omega_converges_3d_cubic():
+    """Default (auto) omega must not diverge on 3D cubic splines, where the
+    classic fixed 2/3 damping is unstable (lambda_max(D^-1 A) = 3.4)."""
+    prob = poisson_problem(3, 8, degree=3)
+    mg = MultigridSolver(prob, num_levels=2,
+                         cfg=CycleConfig(smoother=SmootherConfig("jacobi")))
+    assert mg.cfg.smoother.omega < 0.587  # below the stability bound
+    res = mg.solve(tol=1e-8, maxiter=200)
+    assert res.converged
