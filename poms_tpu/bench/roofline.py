@@ -111,35 +111,60 @@ def bench_spmv(npts, degree: int = 3, dtype=jnp.float32, iters: int = 20,
     pads = (degree,) * d
     band_shape = tuple(2 * degree + 1 for _ in range(d))
     terms = math.prod(band_shape)
-    # IMPORTANT: generate operands ON DEVICE.  The 3D cubic band is ~GBs;
-    # host->device transfer through this machine's TPU tunnel is far slower
-    # than the kernel being measured (and can stall for many minutes).
-    @jax.jit
-    def make_operands():
-        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-        band = jax.random.normal(k1, npts + band_shape, dtype)
-        band = band / (2.0 * math.sqrt(terms))
-        x0 = jax.random.normal(
-            k2, tuple(n + 2 * degree for n in npts), dtype)
-        return band, x0
+    if impl == "kron":
+        # structure-exploiting operator: random 1D bands with the same
+        # widths as the Poisson Kronecker sum; 'nnz' counts the equivalent
+        # banded operator (this is the apples-to-apples comparison: same
+        # matrix action, O(n) data instead of the (2p+1)^d-per-point band)
+        from poms_tpu.core.kron import KroneckerSumOperator
+        from poms_tpu.core.space import StencilVectorSpace
 
-    band, x0 = make_operands()
-    jax.block_until_ready(band)
+        space = StencilVectorSpace(npts=npts, pads=pads, periodic=False,
+                                   dtype=dtype)
+        rng = np.random.default_rng(1)
+        scale = 1.0 / (2.0 * (2 * degree + 1))
+        Ks = [jnp.asarray(rng.standard_normal((n, 2 * degree + 1)) * scale,
+                          dtype) for n in npts]
+        Ms = [jnp.asarray(rng.standard_normal((n, 2 * degree + 1)) * scale,
+                          dtype) for n in npts]
+        kron_terms = [[Ks[b] if b == a else Ms[b] for b in range(d)]
+                      for a in range(d)]
+        op = KroneckerSumOperator(space, kron_terms)
 
-    if impl == "jnp":
-        from poms_tpu.ops.spmv import spmv_banded_jnp as spmv_fn
-    elif impl == "pallas":
-        from poms_tpu.ops.pallas.spmv import spmv_banded_pallas as spmv_fn
+        def step(x_int, *cs):
+            return op._apply_interior(x_int)
+
+        x0i = jnp.full(npts, 1e-3, dtype)
+        wall = time_step_loop(step, x0i, iters=iters)
     else:
-        raise ValueError(impl)
+        # IMPORTANT: generate operands ON DEVICE.  The 3D cubic band is
+        # ~GBs; host->device transfer through this machine's TPU tunnel is
+        # far slower than the kernel being measured (and can stall).
+        @jax.jit
+        def make_operands():
+            k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+            band = jax.random.normal(k1, npts + band_shape, dtype)
+            band = band / (2.0 * math.sqrt(terms))
+            x0 = jax.random.normal(
+                k2, tuple(n + 2 * degree for n in npts), dtype)
+            return band, x0
 
-    pad_widths = [(degree, degree)] * d
+        band, x0 = make_operands()
+        jax.block_until_ready(band)
+        if impl == "jnp":
+            from poms_tpu.ops.spmv import spmv_banded_jnp as spmv_fn
+        elif impl == "pallas":
+            from poms_tpu.ops.pallas.spmv import spmv_banded_pallas as spmv_fn
+        else:
+            raise ValueError(impl)
 
-    def step(x_pad, bnd):
-        y = spmv_fn(bnd, x_pad, npts, pads)
-        return jnp.pad(y, pad_widths)
+        pad_widths = [(degree, degree)] * d
 
-    wall = time_step_loop(step, x0, consts=(band,), iters=iters)
+        def step(x_pad, bnd):
+            y = spmv_fn(bnd, x_pad, npts, pads)
+            return jnp.pad(y, pad_widths)
+
+        wall = time_step_loop(step, x0, consts=(band,), iters=iters)
     points = math.prod(npts)
     isize = jnp.dtype(dtype).itemsize
     nbytes = (terms + 2) * points * isize

@@ -37,6 +37,8 @@ __all__ = ["MixedPrecisionMG", "MGPreconditionedCG"]
 
 def _cast_levels(levels, dtype):
     """Cast a hierarchy's arrays (bands, transfer weights, Cholesky factor)."""
+    from poms_tpu.core.kron import KroneckerSumOperator
+
     def cast(leaf):
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
             return leaf.astype(dtype)
@@ -48,7 +50,10 @@ def _cast_levels(levels, dtype):
     out = []
     for lev in lo:
         sp = lev.A.space.with_dtype(dtype)
-        A = type(lev.A)(sp, lev.A.band)
+        if hasattr(lev.A, "band"):
+            A = type(lev.A)(sp, lev.A.band)
+        else:  # KroneckerSumOperator
+            A = KroneckerSumOperator(sp, lev.A.terms)
         out.append(Level(A=A, restrict=lev.restrict, prolong=lev.prolong,
                          chol=lev.chol))
     return out
@@ -59,7 +64,7 @@ class MixedPrecisionMG:
 
     def __init__(self, problem: PoissonProblem, num_levels: int,
                  cfg: CycleConfig = CycleConfig(),
-                 low_dtype=jnp.float32):
+                 low_dtype=jnp.float32, operator: str = "banded"):
         if problem.space.dtype != jnp.dtype(jnp.float64):
             raise ValueError("build the problem in f64; the low-precision "
                              "hierarchy is derived from it")
@@ -69,7 +74,8 @@ class MixedPrecisionMG:
                                           resolve_omega)
 
         self.problem = problem
-        self.levels64 = build_hierarchy(problem, num_levels)
+        self.levels64 = build_hierarchy(problem, num_levels,
+                                        operator=operator)
         cfg = _dc_replace(cfg, smoother=resolve_omega(cfg.smoother,
                                                       self.levels64[0].A))
         self.cfg = cfg
@@ -126,14 +132,15 @@ class MGPreconditionedCG:
 
     def __init__(self, problem: PoissonProblem, num_levels: int,
                  cfg: CycleConfig = CycleConfig(), mixed: bool = True,
-                 low_dtype=jnp.float32):
+                 low_dtype=jnp.float32, operator: str = "banded"):
         from dataclasses import replace as _dc_replace
 
         from poms_tpu.mg.smoother import (attach_spectral_estimates,
                                           resolve_omega)
 
         self.problem = problem
-        self.levels = build_hierarchy(problem, num_levels)
+        self.levels = build_hierarchy(problem, num_levels,
+                                      operator=operator)
         cfg = _dc_replace(cfg, smoother=resolve_omega(cfg.smoother,
                                                       self.levels[0].A))
         self.cfg = cfg

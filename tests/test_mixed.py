@@ -65,3 +65,16 @@ def test_mixed_solution_accuracy():
     res = mg.solve(tol=1e-10, maxiter=100)
     err = l2_error_manufactured(prob, res.x, pts_per_dim=64)
     assert err < 1e-6  # discretization-limited, not precision-limited
+
+
+def test_mixed_precision_kron_operator():
+    """Mixed defect correction over a Kronecker hierarchy reaches 1e-10."""
+    prob = poisson_problem(2, 32, degree=3, operator="kron")
+    from poms_tpu.mg.smoother import SmootherConfig as SC
+    cfg = CycleConfig(nu1=1, nu2=1,
+                      smoother=SC("chebyshev", cheb_fraction=16.0))
+    mg = MixedPrecisionMG(prob, num_levels=3, cfg=cfg, operator="kron")
+    res = mg.solve(tol=1e-10, maxiter=60)
+    assert res.converged
+    r = prob.b - prob.A.dot(res.x)
+    assert float(r.norm()) <= 2e-10
