@@ -88,7 +88,7 @@ class DistributedMG:
                  dist_levels: int | str = "auto"):
         if num_levels < 2:
             raise ValueError("DistributedMG needs >= 2 levels")
-        if cfg.smoother.kind not in ("jacobi", "rbgs"):
+        if cfg.smoother.kind not in ("jacobi", "rbgs", "chebyshev"):
             raise ValueError(
                 f"smoother {cfg.smoother.kind!r} is not distributed "
                 "(gs_lex is sequential — SURVEY.md §7.2.2)")
@@ -104,6 +104,9 @@ class DistributedMG:
         cfg = _dc_replace(cfg, smoother=resolve_omega(cfg.smoother,
                                                       self.levels[0].A))
         self.cfg = cfg
+        from poms_tpu.mg.smoother import attach_spectral_estimates
+
+        self.lams = attach_spectral_estimates(self.levels, cfg.smoother)
         self.names = _AXIS_NAMES[:d]
         devices = devices if devices is not None else jax.devices()
         ndev = math.prod(mesh_shape)
@@ -214,12 +217,33 @@ class DistributedMG:
         npts_boundary = self.dist[L_dist - 1].npts
         N_boundary = self.dist[L_dist - 1].N
 
+        lams = self.lams
+        cheb_frac = cfg.smoother.cheb_fraction
+        cheb_deg = cfg.smoother.cheb_degree
+
         def smooth(lev_i, band_loc, x_loc, b_loc):
             spec = dist_meta[lev_i].spec
             diag_loc = band_loc[(...,) + tuple(spec.pads)]
             if kind == "jacobi":
                 Ax = dist_spmv(band_loc, x_loc, spec)
                 return x_loc + omega * (b_loc - Ax) / diag_loc
+            if kind == "chebyshev":
+                lam_max = lams[lev_i]
+                lam_min = lam_max / cheb_frac
+                theta = 0.5 * (lam_max + lam_min)
+                delta = 0.5 * (lam_max - lam_min)
+                z = (b_loc - dist_spmv(band_loc, x_loc, spec)) / diag_loc
+                dd = z / theta
+                x_loc = x_loc + dd
+                sigma = theta / delta
+                rho = 1.0 / sigma
+                for _ in range(cheb_deg - 1):
+                    z = (b_loc - dist_spmv(band_loc, x_loc, spec)) / diag_loc
+                    rho_new = 1.0 / (2.0 * sigma - rho)
+                    dd = rho_new * rho * dd + (2.0 * rho_new / delta) * z
+                    x_loc = x_loc + dd
+                    rho = rho_new
+                return x_loc
             starts = local_starts(spec)
             for color in (0, 1):
                 mask = color_mask(spec.n_loc, color, starts)
@@ -272,8 +296,9 @@ class DistributedMG:
                 sp_c = tail[0].A.space
                 b_c = StencilVector.from_interior(sp_c, b_c_int)
                 x_c = StencilVector.zeros(sp_c)
+                tail_lams = lams[L_dist:] if lams is not None else None
                 for _ in range(cfg.gamma):
-                    x_c = cycle(tail, 0, x_c, b_c, cfg)
+                    x_c = cycle(tail, 0, x_c, b_c, cfg, tail_lams)
                 corr_int = apply_transfer(t_prolong, x_c.interior)
                 corr = scatter_local(corr_int, meta.N, meta.spec.n_loc)
             x_loc = x_loc + corr

@@ -165,3 +165,17 @@ def test_multilevel_dist_rbgs():
     assert res_d.iterations == res_s.iterations
     np.testing.assert_allclose(res_d.residuals, res_s.residuals,
                                rtol=1e-6, atol=1e-13)
+
+
+def test_dist_chebyshev_and_wcycle_match_serial():
+    prob = poisson_problem(2, 32, degree=3)
+    cfg = CycleConfig(nu1=1, nu2=1, gamma=2,
+                      smoother=SmootherConfig(kind="chebyshev",
+                                              cheb_fraction=16.0))
+    serial = MultigridSolver(prob, num_levels=3, cfg=cfg)
+    res_s = serial.solve(tol=1e-9, maxiter=40)
+    dist = DistributedMG(prob, num_levels=3, mesh_shape=(2, 2), cfg=cfg)
+    res_d = dist.solve(tol=1e-9, maxiter=40)
+    assert res_d.converged and res_d.iterations == res_s.iterations
+    np.testing.assert_allclose(res_d.residuals, res_s.residuals,
+                               rtol=1e-6, atol=1e-13)
