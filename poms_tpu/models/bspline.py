@@ -270,3 +270,73 @@ def sin_moment_1d(sp: Spline1D, m: int = 1, interior: bool = True) -> np.ndarray
             N = basis_funs(T, p, k, x)
             s[k - p:k + 1] += wq * jac * np.sin(m * np.pi * x) * N
     return s[1:-1] if interior else s
+
+
+# ---------------------------------------------------------------------------
+# periodic (circulant) spaces
+# ---------------------------------------------------------------------------
+
+def assemble_periodic_1d(n_el: int, p: int):
+    """Periodic uniform B-spline stiffness/mass bands (circulant rows).
+
+    On the periodic uniform grid every basis function is a shift of one
+    cardinal B-spline, so K and M are circulant: band[i, off] = k[off] for
+    all i.  The per-offset values are computed by quadrature of the cardinal
+    spline against its shifts (supported reference: SURVEY.md §2 C1/C13
+    lists periodicity as a reference capability).  Returns (K_band, M_band)
+    of shape (n_el, 2p+1) — n_el basis functions, no boundary elimination.
+    """
+    if n_el <= 2 * p:
+        raise ValueError(f"periodic space needs n_el > 2p (got {n_el}, p={p})")
+    # compute overlap integrals on a line long enough that the central
+    # function AND all its ±p neighbors are cardinal (uniform-knot)
+    # translates: functions i ∈ [p, nb-1-p] are cardinal, so we need
+    # c ± p inside that range → m_el = 4p+3, c = 2p+1
+    m_el = 4 * p + 3
+    T = open_uniform_knots(m_el, p)  # scaled domain [0,1] with m_el elements
+    c = 2 * p + 1
+    q = p + 1
+    xg, wg = np.polynomial.legendre.leggauss(q)
+    k_off = np.zeros(2 * p + 1)
+    m_off = np.zeros(2 * p + 1)
+    h_ref = 1.0 / m_el            # reference element width
+    for e in range(m_el):
+        kspan = p + e
+        a, b = T[kspan], T[kspan + 1]
+        jac = 0.5 * (b - a)
+        for xq, wq in zip(xg, wg):
+            x = a + jac * (xq + 1.0)
+            ders = ders_basis_funs(T, p, kspan, x, 1)
+            N, dN = ders[0], ders[1]
+            ids = np.arange(kspan - p, kspan + 1)
+            wquad = wq * jac
+            if c in ids:
+                ic = int(np.where(ids == c)[0][0])
+                for j, gj in enumerate(ids):
+                    off = gj - c
+                    if -p <= off <= p:
+                        k_off[off + p] += wquad * dN[ic] * dN[j]
+                        m_off[off + p] += wquad * N[ic] * N[j]
+    # rescale from the reference element width h_ref to h = 1/n_el:
+    # stiffness ~ 1/h, mass ~ h
+    h = 1.0 / n_el
+    k_off *= h_ref / h
+    m_off *= h / h_ref
+    K = np.tile(k_off, (n_el, 1))
+    M = np.tile(m_off, (n_el, 1))
+    return K, M
+
+
+def prolongation_periodic_1d(n_el_coarse: int, p: int) -> np.ndarray:
+    """Dense periodic dyadic prolongation from the two-scale relation:
+    B(x) = 2^{-p} Σ_k C(p+1, k) B(2x − k)."""
+    from math import comb
+
+    n_c = n_el_coarse
+    n_f = 2 * n_el_coarse
+    P = np.zeros((n_f, n_c))
+    w = np.array([comb(p + 1, k) for k in range(p + 2)]) * 2.0 ** (-p)
+    for j in range(n_c):
+        for k in range(p + 2):
+            P[(2 * j + k) % n_f, j] += w[k]
+    return P
