@@ -85,7 +85,10 @@ class DistributedMG:
     def __init__(self, problem: PoissonProblem, num_levels: int,
                  mesh_shape: Tuple[int, ...],
                  cfg: CycleConfig = CycleConfig(), devices=None,
-                 dist_levels: int | str = "auto"):
+                 dist_levels: int | str = "auto", overlap: bool = False):
+        # ``overlap``: emit halo ppermutes independent of the interior SpMV
+        # so XLA can overlap communication with compute (SURVEY.md §7.1.7);
+        # results are equal to the non-overlapped path to f64 roundoff.
         if num_levels < 2:
             raise ValueError("DistributedMG needs >= 2 levels")
         if cfg.smoother.kind not in ("jacobi", "rbgs", "chebyshev"):
@@ -104,6 +107,7 @@ class DistributedMG:
         cfg = _dc_replace(cfg, smoother=resolve_omega(cfg.smoother,
                                                       self.levels[0].A))
         self.cfg = cfg
+        self.overlap = overlap
         from poms_tpu.mg.smoother import attach_spectral_estimates
 
         self.lams = attach_spectral_estimates(self.levels, cfg.smoother)
@@ -220,25 +224,28 @@ class DistributedMG:
         lams = self.lams
         cheb_frac = cfg.smoother.cheb_fraction
         cheb_deg = cfg.smoother.cheb_degree
+        overlap = self.overlap
 
         def smooth(lev_i, band_loc, x_loc, b_loc):
             spec = dist_meta[lev_i].spec
             diag_loc = band_loc[(...,) + tuple(spec.pads)]
             if kind == "jacobi":
-                Ax = dist_spmv(band_loc, x_loc, spec)
+                Ax = dist_spmv(band_loc, x_loc, spec, overlap)
                 return x_loc + omega * (b_loc - Ax) / diag_loc
             if kind == "chebyshev":
                 lam_max = lams[lev_i]
                 lam_min = lam_max / cheb_frac
                 theta = 0.5 * (lam_max + lam_min)
                 delta = 0.5 * (lam_max - lam_min)
-                z = (b_loc - dist_spmv(band_loc, x_loc, spec)) / diag_loc
+                z = (b_loc - dist_spmv(band_loc, x_loc, spec,
+                                       overlap)) / diag_loc
                 dd = z / theta
                 x_loc = x_loc + dd
                 sigma = theta / delta
                 rho = 1.0 / sigma
                 for _ in range(cheb_deg - 1):
-                    z = (b_loc - dist_spmv(band_loc, x_loc, spec)) / diag_loc
+                    z = (b_loc - dist_spmv(band_loc, x_loc, spec,
+                                           overlap)) / diag_loc
                     rho_new = 1.0 / (2.0 * sigma - rho)
                     dd = rho_new * rho * dd + (2.0 * rho_new / delta) * z
                     x_loc = x_loc + dd
@@ -275,7 +282,7 @@ class DistributedMG:
             band_loc = bands[l]
             for _ in range(cfg.nu1):
                 x_loc = smooth(l, band_loc, x_loc, b_loc)
-            r_loc = b_loc - dist_spmv(band_loc, x_loc, meta.spec)
+            r_loc = b_loc - dist_spmv(band_loc, x_loc, meta.spec, overlap)
             if l + 1 < L_dist:
                 restr, prol = transfers[l]
                 b_c = dist_apply_transfer(restr, r_loc, meta.spec.axes,

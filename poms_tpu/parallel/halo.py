@@ -114,10 +114,64 @@ def pad_and_exchange(x_loc: jnp.ndarray, spec: HaloSpec) -> jnp.ndarray:
 
 
 def dist_spmv(band_loc: jnp.ndarray, x_loc: jnp.ndarray,
-              spec: HaloSpec) -> jnp.ndarray:
-    """Distributed banded SpMV: halo exchange + local shifted-MAC sum."""
-    x_pad = pad_and_exchange(x_loc, spec)
-    return spmv_banded_jnp(band_loc, x_pad, spec.n_loc, spec.pads)
+              spec: HaloSpec, overlap: bool = False) -> jnp.ndarray:
+    """Distributed banded SpMV: halo exchange + local shifted-MAC sum.
+
+    ``overlap=True`` uses the comm/compute-overlap formulation
+    (SURVEY.md §7.1.7): by linearity,
+
+        A·x = A·(x with zero ghosts)  +  A·(ghosts only)
+
+    The first term needs NO communication and covers all interior work;
+    the second touches only the p-wide boundary shells.  Emitting the
+    ppermute and the big interior SpMV as *independent* ops lets XLA
+    schedule the halo transfer concurrently with interior compute —
+    verify in profiler traces on real multi-chip hardware (the 1-chip
+    round can only test equivalence, which tests/test_dist.py does).
+    """
+    if not overlap:
+        x_pad = pad_and_exchange(x_loc, spec)
+        return spmv_banded_jnp(band_loc, x_pad, spec.n_loc, spec.pads)
+    nd = len(spec.axes)
+    n_loc, pads = spec.n_loc, spec.pads
+    # interior term: zero ghosts — NO dependency on the ppermutes
+    x_pad0 = jnp.pad(x_loc, [(ax.pad, ax.pad) for ax in spec.axes])
+    out = spmv_banded_jnp(band_loc, x_pad0, n_loc, pads)
+    # ghost-only field: real exchange, then zero the interior (linearity)
+    x_ex = halo_exchange(x_pad0, spec)
+    interior = tuple(slice(ax.pad, ax.pad + ax.n_loc) for ax in spec.axes)
+    x_ghost = x_ex.at[interior].set(jnp.zeros(n_loc, x_ex.dtype))
+    # correction only touches rows within `pad` of a face; compute it on a
+    # DISJOINT face partition (face (a, side) owns rows with dim a in the
+    # edge slab and dims b < a interior) — O(surface) extra work
+    for a in range(nd):
+        p_a = pads[a]
+        if p_a == 0:
+            continue
+        for side in (0, 1):
+            row_sel = []
+            for b in range(nd):
+                if b < a:
+                    row_sel.append(slice(pads[b],
+                                         max(pads[b], n_loc[b] - pads[b])))
+                elif b == a:
+                    # the two opposite slabs must stay disjoint even when
+                    # n_loc < 2p (then side 0 absorbs the overlap rows)
+                    row_sel.append(
+                        slice(0, min(p_a, n_loc[a])) if side == 0
+                        else slice(max(p_a, n_loc[a] - p_a), n_loc[a]))
+                else:
+                    row_sel.append(slice(0, n_loc[b]))
+            row_sel = tuple(row_sel)
+            shape = tuple(s.stop - s.start for s in row_sel)
+            if any(e <= 0 for e in shape):
+                continue
+            band_sl = band_loc[row_sel]
+            xw = x_ghost[tuple(slice(s.start, s.stop + 2 * pads[b])
+                               for b, s in enumerate(row_sel))]
+            corr = spmv_banded_jnp(band_sl, xw, shape, pads)
+            out = out.at[row_sel].add(corr)
+    return out
 
 
 def dist_spmv_offdiag(band_loc: jnp.ndarray, x_loc: jnp.ndarray,

@@ -179,3 +179,45 @@ def test_dist_chebyshev_and_wcycle_match_serial():
     assert res_d.converged and res_d.iterations == res_s.iterations
     np.testing.assert_allclose(res_d.residuals, res_s.residuals,
                                rtol=1e-6, atol=1e-13)
+
+
+def test_overlap_spmv_equivalence():
+    """Interior + disjoint-shell-correction SpMV == plain exchanged SpMV."""
+    from poms_tpu.parallel.halo import HaloSpec as HS, dist_spmv as dsp
+    prob = poisson_problem(2, 16, degree=3)
+    x_int = np.random.default_rng(3).standard_normal(prob.space.npts)
+    y_plain = _sharded_spmv(prob.space, prob.A.band, x_int, (4, 2))
+
+    d = prob.space.ndim
+    names = tuple(f"ax{a}" for a in range(d))
+    mesh = jax.make_mesh((4, 2), names)
+    npts = prob.space.npts
+    N = tuple(-(-npts[a] // (4, 2)[a]) * (4, 2)[a] for a in range(d))
+    n_loc = tuple(N[a] // (4, 2)[a] for a in range(d))
+    spec = HS.build(names, (4, 2), n_loc, prob.space.pads,
+                    prob.space.periodic)
+    band_pad = jnp.asarray(_pad_band_identity(
+        np.asarray(prob.A.band), npts, N, prob.space.pads))
+    x_pad = jnp.pad(jnp.asarray(x_int),
+                    [(0, N[a] - npts[a]) for a in range(d)])
+    f = jax.shard_map(lambda bl, xl: dsp(bl, xl, spec, True), mesh=mesh,
+                      in_specs=(P(*(names + (None,) * d)), P(*names)),
+                      out_specs=P(*names))
+    y = np.asarray(jax.jit(f)(band_pad, x_pad))[
+        tuple(slice(0, n) for n in npts)]
+    np.testing.assert_allclose(y, y_plain, rtol=1e-12, atol=1e-13)
+
+
+def test_overlap_solve_matches_plain():
+    prob = poisson_problem(2, 32, degree=2)
+    cfg = CycleConfig(nu1=1, nu2=1,
+                      smoother=SmootherConfig("chebyshev",
+                                              cheb_fraction=16.0))
+    plain = DistributedMG(prob, num_levels=3, mesh_shape=(2, 2), cfg=cfg)
+    over = DistributedMG(prob, num_levels=3, mesh_shape=(2, 2), cfg=cfg,
+                         overlap=True)
+    r1 = plain.solve(tol=1e-9, maxiter=40)
+    r2 = over.solve(tol=1e-9, maxiter=40)
+    assert r2.converged and r2.iterations == r1.iterations
+    np.testing.assert_allclose(r2.residuals, r1.residuals, rtol=1e-6,
+                               atol=1e-14)
