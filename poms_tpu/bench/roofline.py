@@ -143,11 +143,12 @@ def bench_spmv(npts, degree: int = 3, dtype=jnp.float32, iters: int = 20,
         @jax.jit
         def make_operands():
             k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-            band = jax.random.normal(k1, npts + band_shape, dtype)
-            band = band / (2.0 * math.sqrt(terms))
+            # offset-major band (win..., grid...) — core/matrix.py layout
+            band_t = jax.random.normal(k1, band_shape + npts, dtype)
+            band_t = band_t / (2.0 * math.sqrt(terms))
             x0 = jax.random.normal(
                 k2, tuple(n + 2 * degree for n in npts), dtype)
-            return band, x0
+            return band_t, x0
 
         band, x0 = make_operands()
         jax.block_until_ready(band)

@@ -2,11 +2,18 @@
 
 TPU-native analogue of the reference's ``StencilMatrix`` (SURVEY.md §2 C3,
 [recall:high]): for each grid multi-index ``i`` the ``(2p+1)^d`` band of
-nonzeros is stored by diagonal offset, i.e. ``data`` has shape
-``npts + band_shape`` and ``data[i, k]`` is the coefficient multiplying
-``x[i + k - p]``.  This is the *primary* operator format (BASELINE.json:5
-"stored as banded/BSR"); CSR/COO are interchange/oracle formats only
-(SURVEY.md §7.0, §4).
+nonzeros is stored by diagonal offset.  This is the *primary* operator
+format (BASELINE.json:5 "stored as banded/BSR"); CSR/COO are
+interchange/oracle formats only (SURVEY.md §7.0, §4).
+
+Storage layout: the canonical array is **offset-major** ``band_t`` of shape
+``band_shape + npts`` — ``band_t[k, i]`` multiplies ``x[i + k - p]``.  This
+is the TPU-friendly (DIA-style) layout: each coefficient plane is a
+contiguous grid-shaped array, so both the XLA shifted-MAC path and the
+Pallas kernels stream it at full bandwidth (grid-major puts the 49/343
+offsets in the lane dim, which Mosaic scalarizes — measured compile stall).
+The grid-major view ``band[i, k]`` is exposed as a property for
+construction and host-side interchange only.
 
 Conversions run on host in numpy (setup/test-time only).  The hot path is
 :meth:`StencilMatrix.dot` → :func:`poms_tpu.ops.spmv.spmv_banded_jnp`
@@ -29,39 +36,72 @@ from poms_tpu.ops import dispatch as _ops
 __all__ = ["StencilMatrix"]
 
 
+def _to_offset_major(band, nd: int):
+    """(npts..., win...) → (win..., npts...)."""
+    return jnp.transpose(band, tuple(range(nd, 2 * nd)) + tuple(range(nd)))
+
+
+def _to_grid_major(band_t, nd: int):
+    """(win..., npts...) → (npts..., win...)."""
+    return jnp.transpose(band_t, tuple(range(nd, 2 * nd)) + tuple(range(nd)))
+
+
 @jax.tree_util.register_pytree_node_class
 class StencilMatrix:
     """Banded stencil operator mapping a space to itself.
 
-    ``band`` has shape ``space.npts + space.band_shape``.  Rows whose stencil
-    would reach outside the (non-periodic) domain must carry zeros there —
-    the B-spline assembly in :mod:`poms_tpu.models` guarantees this, and
-    :meth:`validate_boundary` checks it.
+    ``band_t`` has shape ``space.band_shape + space.npts``.  Rows whose
+    stencil would reach outside the (non-periodic) domain must carry zeros
+    there — the B-spline assembly in :mod:`poms_tpu.models` guarantees this,
+    and :meth:`validate_boundary` checks it.
     """
 
-    __slots__ = ("space", "band")
+    __slots__ = ("space", "band_t")
 
-    def __init__(self, space: StencilVectorSpace, band: jnp.ndarray | None = None):
+    def __init__(self, space: StencilVectorSpace,
+                 band: jnp.ndarray | None = None, *,
+                 band_t: jnp.ndarray | None = None):
         self.space = space
-        full_shape = space.npts + space.band_shape
-        if band is None:
-            band = jnp.zeros(full_shape, space.dtype)
-        self.band = band
+        nd = space.ndim
+        if band_t is not None:
+            self.band_t = band_t
+        elif band is not None:
+            self.band_t = _to_offset_major(jnp.asarray(band), nd)
+        else:
+            self.band_t = jnp.zeros(space.band_shape + space.npts,
+                                    space.dtype)
 
     # -- construction -------------------------------------------------------
     @classmethod
     def from_band(cls, space: StencilVectorSpace, band) -> "StencilMatrix":
+        """From a grid-major ``(npts..., win...)`` band array."""
         band = jnp.asarray(band, space.dtype)
         want = space.npts + space.band_shape
         if band.shape != want:
             raise ValueError(f"band shape {band.shape} != {want}")
         return cls(space, band)
 
+    @classmethod
+    def from_band_t(cls, space: StencilVectorSpace, band_t) -> "StencilMatrix":
+        """From an offset-major ``(win..., npts...)`` band array."""
+        band_t = jnp.asarray(band_t, space.dtype)
+        want = space.band_shape + space.npts
+        if band_t.shape != want:
+            raise ValueError(f"band_t shape {band_t.shape} != {want}")
+        return cls(space, band_t=band_t)
+
+    @property
+    def band(self) -> jnp.ndarray:
+        """Grid-major view ``band[i, k]`` (construction/interchange only —
+        transposes; the operational layout is :attr:`band_t`)."""
+        return _to_grid_major(self.band_t, self.space.ndim)
+
     # -- linear-operator interface -----------------------------------------
     def dot(self, v: StencilVector) -> StencilVector:
         """y = A v. Refreshes ghosts, then the banded SpMV (SURVEY.md §3.4)."""
         vg = v.update_ghost_regions()
-        out_int = _ops.spmv(self.band, vg.data, self.space.npts, self.space.pads)
+        out_int = _ops.spmv(self.band_t, vg.data, self.space.npts,
+                            self.space.pads)
         return StencilVector.from_interior(self.space, out_int)
 
     def __matmul__(self, v: StencilVector) -> StencilVector:
@@ -69,7 +109,7 @@ class StencilMatrix:
 
     def diagonal(self) -> jnp.ndarray:
         """Main diagonal as an interior-shaped array."""
-        return self.band[(...,) + tuple(self.space.pads)]
+        return self.band_t[tuple(self.space.pads)]
 
     # -- host-side interchange (SURVEY.md §2 C4) ---------------------------
     def _coo_arrays(self):
@@ -79,7 +119,7 @@ class StencilMatrix:
         then dropped for non-periodic dims.
         """
         sp = self.space
-        band = np.asarray(self.band)
+        band_t = np.asarray(self.band_t)
         npts, pads, periodic = sp.npts, sp.pads, sp.periodic
         nd = sp.ndim
         grids = np.meshgrid(*[np.arange(n) for n in npts], indexing="ij")
@@ -87,7 +127,7 @@ class StencilMatrix:
 
         rows_l, cols_l, vals_l = [], [], []
         for k in itertools.product(*[range(2 * p + 1) for p in pads]):
-            vals = band[(...,) + k].ravel()
+            vals = band_t[k].ravel()
             cols_md = []
             valid = np.ones(vals.shape, bool)
             for a in range(nd):
@@ -114,7 +154,7 @@ class StencilMatrix:
             vals_l.append(vals[keep])
         rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
         cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
-        vals = np.concatenate(vals_l) if vals_l else np.zeros(0, band.dtype)
+        vals = np.concatenate(vals_l) if vals_l else np.zeros(0, band_t.dtype)
         return rows, cols, vals
 
     def tocoo(self):
@@ -155,7 +195,7 @@ class StencilMatrix:
             rows, cols, vals = rows[keep], cols[keep], vals[keep]
         nd, npts, pads = sp.ndim, sp.npts, sp.pads
 
-        band = np.zeros(npts + sp.band_shape, np.float64)
+        band_t = np.zeros(sp.band_shape + npts, np.float64)
         # unflatten row/col multi-indices
         r_md, c_md = [], []
         r, c = rows.copy(), cols.copy()
@@ -173,9 +213,9 @@ class StencilMatrix:
                 raise ValueError(
                     f"COO entry outside band in dim {a}: pads={pads} too small")
             k_md.append(k)
-        idx = tuple(r_md) + tuple(k_md)
-        np.add.at(band, idx, vals)
-        return cls(space, jnp.asarray(band, sp.dtype))
+        idx = tuple(k_md) + tuple(r_md)
+        np.add.at(band_t, idx, vals)
+        return cls(space, band_t=jnp.asarray(band_t, sp.dtype))
 
     @classmethod
     def from_scipy(cls, space: StencilVectorSpace, mat) -> "StencilMatrix":
@@ -193,10 +233,10 @@ class StencilMatrix:
         return self.transpose()
 
     def __add__(self, other: "StencilMatrix") -> "StencilMatrix":
-        return StencilMatrix(self.space, self.band + other.band)
+        return StencilMatrix(self.space, band_t=self.band_t + other.band_t)
 
     def __mul__(self, scalar) -> "StencilMatrix":
-        return StencilMatrix(self.space, self.band * scalar)
+        return StencilMatrix(self.space, band_t=self.band_t * scalar)
 
     __rmul__ = __mul__
 
@@ -210,12 +250,12 @@ class StencilMatrix:
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
-        return (self.band,), self.space
+        return (self.band_t,), self.space
 
     @classmethod
     def tree_unflatten(cls, space, children):
-        (band,) = children
-        return cls(space, band)
+        (band_t,) = children
+        return cls(space, band_t=band_t)
 
     def __repr__(self):
         return (f"StencilMatrix(npts={self.space.npts}, "

@@ -44,8 +44,8 @@ def cycle(levels: List[Level], l: int, x: StencilVector, b: StencilVector,
     for _ in range(cfg.nu1):
         x = smooth_step(level.A, x, b, cfg.smoother, lam_max=lam)
     sp = level.A.space
-    if hasattr(level.A, "band"):  # fused residual kernel
-        r_int = _ops.residual(level.A.band, x.update_ghost_regions().data,
+    if hasattr(level.A, "band_t"):  # fused residual kernel
+        r_int = _ops.residual(level.A.band_t, x.update_ghost_regions().data,
                               b.interior, sp.npts, sp.pads)
     else:
         r_int = b.interior - level.A.dot(x).interior

@@ -50,8 +50,8 @@ def _cast_levels(levels, dtype):
     out = []
     for lev in lo:
         sp = lev.A.space.with_dtype(dtype)
-        if hasattr(lev.A, "band"):
-            A = type(lev.A)(sp, lev.A.band)
+        if hasattr(lev.A, "band_t"):
+            A = type(lev.A)(sp, band_t=lev.A.band_t)
         else:  # KroneckerSumOperator
             A = KroneckerSumOperator(sp, lev.A.terms)
         out.append(Level(A=A, restrict=lev.restrict, prolong=lev.prolong,

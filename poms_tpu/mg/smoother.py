@@ -121,9 +121,9 @@ def color_mask(npts: Tuple[int, ...], color: int,
 def jacobi_step(A, x: StencilVector, b: StencilVector,
                 omega: float) -> StencilVector:
     sp = A.space
-    if hasattr(A, "band"):  # banded stencil: fused (Pallas) path
+    if hasattr(A, "band_t"):  # banded stencil: fused (Pallas) path
         xg = x.update_ghost_regions()
-        x_new = _ops.jacobi(A.band, xg.data, b.interior, omega, sp.npts,
+        x_new = _ops.jacobi(A.band_t, xg.data, b.interior, omega, sp.npts,
                             sp.pads)
         return StencilVector.from_interior(sp, x_new)
     # generic linear operator (e.g. KroneckerSumOperator)
@@ -137,12 +137,12 @@ def rbgs_step(A, x: StencilVector, b: StencilVector,
               starts: Tuple[int, ...] | None = None) -> StencilVector:
     sp = A.space
     diag = A.diagonal()
-    banded = hasattr(A, "band")
+    banded = hasattr(A, "band_t")
     for color in (0, 1):
         mask = color_mask(sp.npts, color, starts)
         if banded:
             xg = x.update_ghost_regions()
-            s = spmv_offdiag_jnp(A.band, xg.data, sp.npts, sp.pads)
+            s = spmv_offdiag_jnp(A.band_t, xg.data, sp.npts, sp.pads)
         else:  # generic operator: offdiag = A x − diag·x
             s = A.dot(x).interior - diag * x.interior
         gs_val = (b.interior - s) / diag
@@ -153,7 +153,7 @@ def rbgs_step(A, x: StencilVector, b: StencilVector,
 
 
 @partial(jax.jit, static_argnames=("npts", "pads"), donate_argnums=(1,))
-def _gs_lex_sweep(band, x_pad, b_int, diag, omega, npts, pads):
+def _gs_lex_sweep(band_t, x_pad, b_int, diag, omega, npts, pads):
     nd = len(npts)
     n_total = math.prod(npts)
     win = tuple(2 * p + 1 for p in pads)
@@ -168,7 +168,7 @@ def _gs_lex_sweep(band, x_pad, b_int, diag, omega, npts, pads):
             rem = rem // npts[a]
         idx = tuple(idx)
         window = jax.lax.dynamic_slice(x_pad, idx, win)
-        row = jax.lax.dynamic_slice(band, idx + (0,) * nd, (1,) * nd + win)
+        row = jax.lax.dynamic_slice(band_t, (0,) * nd + idx, win + (1,) * nd)
         row = row.reshape(win)
         s = jnp.sum(row * window) - row[center] * window[center]
         d = diag[idx]
@@ -189,7 +189,7 @@ def gs_lex_step(A: StencilMatrix, x: StencilVector, b: StencilVector,
     if any(sp.periodic):
         raise NotImplementedError("gs_lex requires non-periodic boundaries")
     xg = x.update_ghost_regions()
-    x_pad = _gs_lex_sweep(A.band, xg.data, b.interior, A.diagonal(),
+    x_pad = _gs_lex_sweep(A.band_t, xg.data, b.interior, A.diagonal(),
                           jnp.asarray(omega, sp.dtype), sp.npts, sp.pads)
     return StencilVector(sp, x_pad)
 
@@ -212,10 +212,10 @@ def chebyshev_step(A, x: StencilVector, b: StencilVector,
     diag = A.diagonal()
 
     def resid(xv):
-        if hasattr(A, "band"):
+        if hasattr(A, "band_t"):
             from poms_tpu.ops import dispatch as _opsd
 
-            return _opsd.residual(A.band, xv.update_ghost_regions().data,
+            return _opsd.residual(A.band_t, xv.update_ghost_regions().data,
                                   b.interior, sp.npts, sp.pads)
         return b.interior - A.dot(xv).interior
 
@@ -248,7 +248,7 @@ def smooth_step(A, x: StencilVector, b: StencilVector,
     if cfg.kind == "rbgs":
         return rbgs_step(A, x, b, cfg.omega, starts)
     if cfg.kind == "gs_lex":
-        if not hasattr(A, "band"):
+        if not hasattr(A, "band_t"):
             raise NotImplementedError("gs_lex needs the banded format")
         return gs_lex_step(A, x, b, cfg.omega)
     raise ValueError(f"unknown smoother {cfg.kind!r}")

@@ -43,8 +43,13 @@ class PoissonProblem:
     splines: Tuple[Spline1D, ...]
 
 
-def _kron_sum_band(splines, dtype=None):
-    """Band of Σ_a ⊗(K if dim==a else M) with axes (grid..., offsets...).
+def _kron_sum_band(splines, dtype=None, offset_major: bool = False):
+    """Band of Σ_a ⊗(K if dim==a else M).
+
+    Axes are (grid..., offsets...) by default, or the operational
+    offset-major (offsets..., grid...) layout with ``offset_major=True``
+    (core/matrix.py) — emitting it directly avoids a GB-scale device
+    transpose at setup.
 
     Composed ON DEVICE with jnp.einsum from the tiny 1D bands: the d-D band
     is GB-scale for 3D problems and must never cross the host↔device link
@@ -64,7 +69,9 @@ def _kron_sum_band(splines, dtype=None):
             in_subs.append(gi + oi)
             out_grid.append(gi)
             out_off.append(oi)
-        expr = ",".join(in_subs) + "->" + "".join(out_grid) + "".join(out_off)
+        out = ("".join(out_off) + "".join(out_grid) if offset_major
+               else "".join(out_grid) + "".join(out_off))
+        expr = ",".join(in_subs) + "->" + out
         term = jnp.einsum(expr, *factors)
         total = term if total is None else total + term
     return total
@@ -94,8 +101,8 @@ def poisson_problem(dim: int, n_el, degree: int = 3,
 
         A = _kron_operator_from_1d([(s.K, s.M) for s in splines], space)
     else:
-        band = _kron_sum_band(splines, dtype)
-        A = StencilMatrix.from_band(space, band)
+        band_t = _kron_sum_band(splines, dtype, offset_major=True)
+        A = StencilMatrix.from_band_t(space, band_t)
     # RHS: f = d π² Π sin(π x_a)  →  b = d π² ⊗_a s_a  (device outer product)
     moments = [jnp.asarray(sin_moment_1d(s, m=1, interior=True), dtype)
                for s in splines]

@@ -1,16 +1,26 @@
 """Banded stencil SpMV — jnp reference implementation.
 
 The TPU-idiomatic formulation (SURVEY.md §7.0): a tensor-product B-spline
-stencil matrix is a dense small-band array of shape ``grid × (2p+1)^d`` and
-stencil SpMV is a sum of ``(2p+1)^d`` *shifted dense multiply-adds* over the
-ghost-padded input vector:
+stencil matrix is a dense small-band array and stencil SpMV is a sum of
+``(2p+1)^d`` *shifted dense multiply-adds* over the ghost-padded input
+vector:
 
-    out[i] = sum_k  A[i, k] * x_pad[i + k]          (k in [0, 2p]^d)
+    out[i] = sum_k  band_t[k, i] * x_pad[i + k]          (k in [0, 2p]^d)
 
 which XLA fuses into a single streaming loop — no gather/scatter, pure
 VPU/HBM work.  This file is the jnp reference used as the correctness oracle
 for the Pallas kernels in :mod:`poms_tpu.ops.pallas` (SURVEY.md §2 C5: the
 reference's pyccel-generated Fortran ``stencil_dot_1d/2d/3d`` kernels).
+
+Layout note — **offset-major** (``band_t[k..., i...]``, the DIA layout): the
+operational band layout puts the (2p+1)^d offset indices in the *major*
+dims so that each coefficient plane ``band_t[k]`` is a contiguous
+grid-shaped array whose minor (lane) dim is a grid dim.  The grid-major
+layout (``band[i..., k...]``) makes every coefficient read a stride-(2p+1)^d
+gather along lanes, which Mosaic scalarizes (compile stall measured this
+round) and which caps XLA at a fraction of HBM bandwidth.
+:class:`poms_tpu.core.matrix.StencilMatrix` stores ``band_t`` and exposes
+grid-major ``.band`` only as a construction/interchange view.
 """
 from __future__ import annotations
 
@@ -35,14 +45,15 @@ def _band_offsets(pads: Tuple[int, ...]):
 
 
 @partial(jax.jit, static_argnames=("npts", "pads"))
-def spmv_banded_jnp(band: jnp.ndarray, x_pad: jnp.ndarray,
+def spmv_banded_jnp(band_t: jnp.ndarray, x_pad: jnp.ndarray,
                     npts: Tuple[int, ...], pads: Tuple[int, ...]) -> jnp.ndarray:
-    """out[i] = sum_k band[i, k] * x_pad[i + k].
+    """out[i] = sum_k band_t[k, i] * x_pad[i + k].
 
     Parameters
     ----------
-    band : array of shape ``npts + (2p+1 per dim)`` — stencil coefficients.
-        ``band[i, k]`` multiplies ``x[i + k - p]`` in interior coordinates.
+    band_t : array of shape ``(2p+1 per dim) + npts`` — stencil coefficients,
+        offset-major.  ``band_t[k, i]`` multiplies ``x[i + k - p]`` in
+        interior coordinates.
     x_pad : array of shape ``n + 2p`` per dim, ghosts already up to date.
 
     Returns the interior result of shape ``npts``.
@@ -51,14 +62,13 @@ def spmv_banded_jnp(band: jnp.ndarray, x_pad: jnp.ndarray,
     for k in _band_offsets(pads):
         shifted = jax.lax.slice(
             x_pad, k, tuple(ki + ni for ki, ni in zip(k, npts)))
-        coeff = band[(...,) + k]
-        term = coeff * shifted
+        term = band_t[k] * shifted
         out = term if out is None else out + term
     return out
 
 
 @partial(jax.jit, static_argnames=("npts", "pads"))
-def spmv_offdiag_jnp(band: jnp.ndarray, x_pad: jnp.ndarray,
+def spmv_offdiag_jnp(band_t: jnp.ndarray, x_pad: jnp.ndarray,
                      npts: Tuple[int, ...], pads: Tuple[int, ...]) -> jnp.ndarray:
     """Like :func:`spmv_banded_jnp` but skipping the diagonal term.
 
@@ -71,9 +81,8 @@ def spmv_offdiag_jnp(band: jnp.ndarray, x_pad: jnp.ndarray,
             continue
         shifted = jax.lax.slice(
             x_pad, k, tuple(ki + ni for ki, ni in zip(k, npts)))
-        coeff = band[(...,) + k]
-        term = coeff * shifted
+        term = band_t[k] * shifted
         out = term if out is None else out + term
     if out is None:  # pads all zero: purely diagonal matrix
-        out = jnp.zeros(npts, band.dtype)
+        out = jnp.zeros(npts, band_t.dtype)
     return out

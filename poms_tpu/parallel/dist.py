@@ -51,18 +51,22 @@ __all__ = ["DistributedMG"]
 _AXIS_NAMES = ("ax0", "ax1", "ax2", "ax3")
 
 
-def _pad_band_identity(band: np.ndarray, npts, N, pads) -> np.ndarray:
-    """Pad grid dims to N with decoupled identity rows (host, setup-time)."""
+def _pad_band_identity(band_t: np.ndarray, npts, N, pads) -> np.ndarray:
+    """Pad grid dims to N with decoupled identity rows (host, setup-time).
+
+    ``band_t`` is offset-major (win..., npts...); grid dims are the trailing
+    ``d`` axes.
+    """
     d = len(npts)
-    pad_widths = [(0, N[a] - npts[a]) for a in range(d)] + [(0, 0)] * d
-    bp = np.pad(np.asarray(band), pad_widths)
+    pad_widths = [(0, 0)] * d + [(0, N[a] - npts[a]) for a in range(d)]
+    bp = np.pad(np.asarray(band_t), pad_widths)
     diag_idx = tuple(pads)
     mask = np.zeros(N, bool)
     for a in range(d):
         idx = [slice(None)] * d
         idx[a] = slice(npts[a], N[a])
         mask[tuple(idx)] = True
-    diag_view = bp[(Ellipsis,) + diag_idx]  # basic indexing -> view
+    diag_view = bp[diag_idx]  # basic indexing -> view
     diag_view[mask] = 1.0
     return bp
 
@@ -71,7 +75,7 @@ class _DistLevel:
     """Static + array data for one distributed level (host-side setup)."""
 
     def __init__(self, band_pad, spec, N, npts, restrict, prolong):
-        self.band_pad = band_pad      # (N..., band...) with identity padding
+        self.band_pad = band_pad      # offset-major (band..., N...) with identity padding
         self.spec = spec              # HaloSpec (pads = stencil pads)
         self.N = N
         self.npts = npts
@@ -169,7 +173,7 @@ class DistributedMG:
             spec = HaloSpec.build(self.names, mesh_shape, n_loc, sp.pads,
                                   sp.periodic)
             band_pad = jnp.asarray(
-                _pad_band_identity(np.asarray(lev.A.band), sp.npts, N,
+                _pad_band_identity(np.asarray(lev.A.band_t), sp.npts, N,
                                    sp.pads), dtype)
             restrict = prolong = None
             if l + 1 < num_levels:
@@ -228,7 +232,7 @@ class DistributedMG:
 
         def smooth(lev_i, band_loc, x_loc, b_loc):
             spec = dist_meta[lev_i].spec
-            diag_loc = band_loc[(...,) + tuple(spec.pads)]
+            diag_loc = band_loc[tuple(spec.pads)]
             if kind == "jacobi":
                 Ax = dist_spmv(band_loc, x_loc, spec, overlap)
                 return x_loc + omega * (b_loc - Ax) / diag_loc
@@ -322,7 +326,8 @@ class DistributedMG:
             return x_loc, rn
 
         rep = P()
-        band_specs = [P(*(names + (None,) * d)) for _ in range(L_dist)]
+        # offset-major bands: win dims (unsharded) lead, grid dims trail
+        band_specs = [P(*((None,) * d + names)) for _ in range(L_dist)]
         bands = [lv.band_pad for lv in self.dist]
         transfers = [(self.dist[l].restrict, self.dist[l].prolong)
                      for l in range(L_dist - 1)]

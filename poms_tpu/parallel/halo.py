@@ -166,7 +166,8 @@ def dist_spmv(band_loc: jnp.ndarray, x_loc: jnp.ndarray,
             shape = tuple(s.stop - s.start for s in row_sel)
             if any(e <= 0 for e in shape):
                 continue
-            band_sl = band_loc[row_sel]
+            # offset-major band: grid rows are the trailing nd dims
+            band_sl = band_loc[(slice(None),) * nd + row_sel]
             xw = x_ghost[tuple(slice(s.start, s.stop + 2 * pads[b])
                                for b, s in enumerate(row_sel))]
             corr = spmv_banded_jnp(band_sl, xw, shape, pads)

@@ -23,7 +23,7 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 (virtual) devices")
 
 
-def _sharded_spmv(space, band, x_int, mesh_shape):
+def _sharded_spmv(space, band_t, x_int, mesh_shape):
     """Run dist_spmv through shard_map on a padded global array."""
     d = space.ndim
     names = tuple(f"ax{a}" for a in range(d))
@@ -33,14 +33,14 @@ def _sharded_spmv(space, band, x_int, mesh_shape):
     n_loc = tuple(N[a] // mesh_shape[a] for a in range(d))
     spec = HaloSpec.build(names, mesh_shape, n_loc, space.pads, space.periodic)
     band_pad = jnp.asarray(
-        _pad_band_identity(np.asarray(band), npts, N, space.pads))
+        _pad_band_identity(np.asarray(band_t), npts, N, space.pads))
     x_pad = jnp.pad(jnp.asarray(x_int),
                     [(0, N[a] - npts[a]) for a in range(d)])
 
     f = jax.shard_map(
         lambda bl, xl: dist_spmv(bl, xl, spec),
         mesh=mesh,
-        in_specs=(P(*(names + (None,) * d)), P(*names)),
+        in_specs=(P(*((None,) * d + names)), P(*names)),
         out_specs=P(*names))
     y = jax.jit(f)(band_pad, x_pad)
     return np.asarray(y)[tuple(slice(0, n) for n in npts)]
@@ -57,7 +57,7 @@ def test_dist_spmv_matches_serial(dim, n_el, mesh_shape, periodic):
     prob = poisson_problem(dim, n_el, degree=2)
     x_int = np.random.default_rng(0).standard_normal(prob.space.npts)
     y_ser = prob.A.dot(StencilVector.from_interior(prob.space, x_int))
-    y_dist = _sharded_spmv(prob.space, prob.A.band, x_int, mesh_shape)
+    y_dist = _sharded_spmv(prob.space, prob.A.band_t, x_int, mesh_shape)
     np.testing.assert_allclose(y_dist, np.asarray(y_ser.interior),
                                rtol=1e-13, atol=1e-13)
 
@@ -68,7 +68,7 @@ def test_dist_spmv_periodic_wrap():
     space, A = random_stencil((16,), (2,), (True,), seed=11)
     x_int = np.random.default_rng(1).standard_normal(space.npts)
     y_ser = A.dot(StencilVector.from_interior(space, x_int))
-    y_dist = _sharded_spmv(space, A.band, x_int, (8,))
+    y_dist = _sharded_spmv(space, A.band_t, x_int, (8,))
     np.testing.assert_allclose(y_dist, np.asarray(y_ser.interior),
                                rtol=1e-13, atol=1e-13)
 
@@ -186,7 +186,7 @@ def test_overlap_spmv_equivalence():
     from poms_tpu.parallel.halo import HaloSpec as HS, dist_spmv as dsp
     prob = poisson_problem(2, 16, degree=3)
     x_int = np.random.default_rng(3).standard_normal(prob.space.npts)
-    y_plain = _sharded_spmv(prob.space, prob.A.band, x_int, (4, 2))
+    y_plain = _sharded_spmv(prob.space, prob.A.band_t, x_int, (4, 2))
 
     d = prob.space.ndim
     names = tuple(f"ax{a}" for a in range(d))
@@ -197,11 +197,11 @@ def test_overlap_spmv_equivalence():
     spec = HS.build(names, (4, 2), n_loc, prob.space.pads,
                     prob.space.periodic)
     band_pad = jnp.asarray(_pad_band_identity(
-        np.asarray(prob.A.band), npts, N, prob.space.pads))
+        np.asarray(prob.A.band_t), npts, N, prob.space.pads))
     x_pad = jnp.pad(jnp.asarray(x_int),
                     [(0, N[a] - npts[a]) for a in range(d)])
     f = jax.shard_map(lambda bl, xl: dsp(bl, xl, spec, True), mesh=mesh,
-                      in_specs=(P(*(names + (None,) * d)), P(*names)),
+                      in_specs=(P(*((None,) * d + names)), P(*names)),
                       out_specs=P(*names))
     y = np.asarray(jax.jit(f)(band_pad, x_pad))[
         tuple(slice(0, n) for n in npts)]

@@ -24,12 +24,13 @@ CASES = [
 def _setup(npts, p, seed=0, dtype=jnp.float32):
     d = len(npts)
     rng = np.random.default_rng(seed)
-    band = jnp.asarray(
-        rng.standard_normal(npts + tuple(2 * p + 1 for _ in range(d))), dtype)
+    # offset-major band (win..., grid...) — core/matrix.py layout
+    band_t = jnp.asarray(
+        rng.standard_normal(tuple(2 * p + 1 for _ in range(d)) + npts), dtype)
     xpad = jnp.asarray(
         rng.standard_normal(tuple(n + 2 * p for n in npts)), dtype)
     b = jnp.asarray(rng.standard_normal(npts), dtype)
-    return band, xpad, b
+    return band_t, xpad, b
 
 
 @pytest.mark.parametrize("npts,p", CASES)
@@ -63,8 +64,8 @@ def test_jacobi_fused_interpret(npts, p):
     band, xpad, b = _setup(npts, p, seed=2)
     # real smoothers divide by a diagonally-dominant diagonal; a random
     # near-zero diag would just amplify f32 summation-order noise
-    band = band.at[(...,) + pads].set(band[(...,) + pads] + 5.0)
-    diag = band[(...,) + pads]
+    band = band.at[pads].set(band[pads] + 5.0)
+    diag = band[pads]
     xc = xpad[tuple(slice(p, p + n) for n in npts)]
     ref = xc + jnp.float32(0.7) * (b - spmv_banded_jnp(band, xpad, npts, pads)) / diag
     out = jacobi_fused_pallas(band, xpad, b, 0.7, npts, pads, interpret=True)
