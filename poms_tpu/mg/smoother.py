@@ -136,15 +136,20 @@ def rbgs_step(A, x: StencilVector, b: StencilVector,
               omega: float,
               starts: Tuple[int, ...] | None = None) -> StencilVector:
     sp = A.space
-    diag = A.diagonal()
     banded = hasattr(A, "band_t")
+    if banded:
+        # fused per-color kernel (Pallas on TPU — ops/pallas/spmv.py
+        # rbgs_color_pallas; jnp masked formulation elsewhere)
+        for color in (0, 1):
+            xg = x.update_ghost_regions()
+            x_new = _ops.rbgs_color(A.band_t, xg.data, b.interior, omega,
+                                    color, sp.npts, sp.pads, starts)
+            x = StencilVector.from_interior(sp, x_new)
+        return x
+    diag = A.diagonal()
     for color in (0, 1):
         mask = color_mask(sp.npts, color, starts)
-        if banded:
-            xg = x.update_ghost_regions()
-            s = spmv_offdiag_jnp(A.band_t, xg.data, sp.npts, sp.pads)
-        else:  # generic operator: offdiag = A x − diag·x
-            s = A.dot(x).interior - diag * x.interior
+        s = A.dot(x).interior - diag * x.interior  # offdiag = A x − diag·x
         gs_val = (b.interior - s) / diag
         x_new = jnp.where(mask, (1.0 - omega) * x.interior + omega * gs_val,
                           x.interior)

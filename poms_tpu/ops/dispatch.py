@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from poms_tpu.ops.spmv import spmv_banded_jnp, spmv_offdiag_jnp
 
-__all__ = ["use_pallas", "spmv", "residual", "jacobi"]
+__all__ = ["use_pallas", "spmv", "residual", "jacobi", "rbgs_color"]
 
 _PALLAS_DTYPES = (jnp.dtype("float32"), jnp.dtype("bfloat16"))
 
@@ -60,3 +60,21 @@ def jacobi(band_t, x_pad, b_int, omega, npts, pads):
     x_int = x_pad[tuple(slice(p, p + n) for n, p in zip(npts, pads))]
     Ax = spmv_banded_jnp(band_t, x_pad, npts, pads)
     return x_int + omega * (b_int - Ax) / diag
+
+
+def rbgs_color(band_t, x_pad, b_int, omega, color, npts, pads, starts=None):
+    """One RB-GS color phase: masked hybrid-GS update on color-``color``
+    points (fused Pallas kernel on TPU — see rbgs_color_pallas)."""
+    if use_pallas(band_t.dtype, len(npts)):
+        from poms_tpu.ops.pallas.spmv import rbgs_color_pallas
+
+        return rbgs_color_pallas(band_t, x_pad, b_int, omega, color, npts,
+                                 pads, starts=starts)
+    from poms_tpu.mg.smoother import color_mask
+
+    diag = band_t[tuple(pads)]
+    x_int = x_pad[tuple(slice(p, p + n) for n, p in zip(npts, pads))]
+    s = spmv_offdiag_jnp(band_t, x_pad, npts, pads)
+    gs = (b_int - s) / diag
+    mask = color_mask(npts, color, starts)
+    return jnp.where(mask, (1.0 - omega) * x_int + omega * gs, x_int)

@@ -50,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["spmv_banded_pallas", "jacobi_fused_pallas",
-           "residual_fused_pallas"]
+           "residual_fused_pallas", "rbgs_color_pallas"]
 
 _LANE = 128
 _SUB = 8
@@ -70,15 +70,19 @@ def _rup(a, b):
 
 def _choose_tiles(npts, pads, itemsize):
     """(1, t2, 128): lane tile pinned to one native tile (see module doc);
-    sublane tile sized so one (1, w2, w3) band chunk fits a ~2 MB VMEM
-    budget (the pipeline double-buffers it); leading dim tiles at 1.
+    sublane tile sized so one (1, w2, w3) band chunk fits a ~4 MB VMEM
+    budget (the pipeline double-buffers it → 8 MB, plus 2 halo windows and
+    the output block, within the ~16 MB v5e VMEM); leading dim tiles at 1.
 
     t2 is then shrunk to the smallest tile that keeps the same tile COUNT
     over npts[1], so grid padding (pure wasted band traffic — zero rows are
-    still streamed) is at most 7 rows instead of up to t2 − 1.
+    still streamed) is at most 7 rows instead of up to t2 − 1.  Bigger tiles
+    mean fewer x-window DMAs (less x amplification) and fewer pipeline
+    boundaries — measured round 2: (1, 128, 128) on 128³ p3 beats the
+    round-1 (1, 64, 128) by ~8% SoL.
     """
     w2, w3 = 2 * pads[1] + 1, 2 * pads[2] + 1
-    budget = 2 * 1024 * 1024
+    budget = 4 * 1024 * 1024
     t2 = budget // (w2 * w3 * _LANE * itemsize)
     t2 = max(_SUB, min((t2 // _SUB) * _SUB, 256))
     n_tiles = _cdiv(npts[1], t2)
@@ -118,34 +122,71 @@ def _pad_operands(band_t, x_pad, b, npts, pads, tile):
 # chunked kernel: grid over (tiles..., k1-chunks), out-block accumulation
 # ---------------------------------------------------------------------------
 
-def _make_kernel(tile, pads, mode, win_al, kc):
+def _make_kernel(tile, pads, mode, win_al, kc, gshape):
     p1, p2, p3 = pads
     w2, w3 = 2 * p2 + 1, 2 * p3 + 1
+    GI, GJ, GL = gshape
+    n_tiles = GI * GJ * GL
+
+    def window_copy(ids, xw, sem, slot, x_hbm):
+        """Async HBM→VMEM copy of tile ``ids``'s halo window into buffer
+        ``slot``.  Lane start stays a syntactic multiple of 128 (Mosaic
+        provable-divisibility requirement — module docstring)."""
+        src = x_hbm.at[pl.ds(ids[0] * tile[0], win_al[0]),
+                       pl.ds(ids[1] * tile[1], win_al[1]),
+                       pl.ds(ids[2] * tile[2], win_al[2])]
+        return pltpu.make_async_copy(src, xw.at[slot], sem.at[slot])
 
     def body_common(k, x_hbm, band_ref, xw, sem):
+        """One k1-chunk of shifted MACs.  The halo window is DOUBLE-
+        BUFFERED: at k == 0 the kernel waits on the copy for THIS tile
+        (issued one tile ago) and immediately starts the copy for the NEXT
+        tile, which then overlaps all kc compute chunks — round 1's
+        synchronous per-tile window DMA was a measured ~10% SoL stall."""
+        # program_id must be bound OUTSIDE pl.when bodies: the interpret-
+        # mode interpreter only substitutes it in the top-level jaxpr
         ids = [pl.program_id(a) for a in range(3)]
+        t_lin = (ids[0] * GJ + ids[1]) * GL + ids[2]
+        slot = jax.lax.rem(t_lin, jnp.int32(2))
 
         @pl.when(k == 0)
         def _():
-            src = x_hbm.at[pl.ds(ids[0] * tile[0], win_al[0]),
-                           pl.ds(ids[1] * tile[1], win_al[1]),
-                           pl.ds(ids[2] * tile[2], win_al[2])]
-            dma = pltpu.make_async_copy(src, xw, sem)
-            dma.start()
-            dma.wait()
+            @pl.when(t_lin == 0)
+            def _():
+                window_copy(ids, xw, sem, 0, x_hbm).start()
 
-        acc = None
+            window_copy(ids, xw, sem, slot, x_hbm).wait()
+            nxt = t_lin + 1
+
+            @pl.when(nxt < n_tiles)
+            def _():
+                l2 = jax.lax.rem(nxt, jnp.int32(GL))
+                j2 = jax.lax.rem(nxt // GL, jnp.int32(GJ))
+                i2 = nxt // (GJ * GL)
+                window_copy((i2, j2, l2), xw, sem, 1 - slot, x_hbm).start()
+
+        # Round-2 measured lesson (bench/kernel_probe.py ablations): NO
+        # staged intermediates.  Round 1 sliced a per-k3 ``xs`` view and
+        # re-sliced it per k2 — Mosaic materialized every staged slice as a
+        # VMEM copy, and those copies (not the DMA, not the MACs) were
+        # ~70% of the kernel time (5.1 ms vs the 1.4 ms pure band-stream
+        # floor at the same DMA pattern; removing loads/shifts/multiplies
+        # from the staged form changed nothing).  Each term now reads its
+        # shifted window DIRECTLY from the scratch ref so the read feeds
+        # the MAC without a round trip, and per-k2 accumulators keep the
+        # FP add chains short.
+        accs = [None] * w2
         for k3 in range(w3):
-            # ONE lane-offset slice per k3 (the expensive cross-lane-tile
-            # relayout), reused by all w2 sublane offsets below
-            xs = xw[pl.ds(k, 1), :, pl.ds(k3, tile[2])]
-            xs = xs.reshape(win_al[1], tile[2])
             for k2 in range(w2):
                 coeff = band_ref[0, k2, k3, 0]          # (t2, t3) contiguous
-                shifted = xs[k2:k2 + tile[1], :]        # cheap sublane slice
+                shifted = xw[slot, pl.ds(k, 1), pl.ds(k2, tile[1]),
+                             pl.ds(k3, tile[2])].reshape(tile[1], tile[2])
                 term = coeff * shifted
-                acc = term if acc is None else acc + term
-        return acc.reshape(1, tile[1], tile[2])
+                accs[k2] = term if accs[k2] is None else accs[k2] + term
+        while len(accs) > 1:                            # pairwise tree
+            accs = [accs[i] + accs[i + 1] if i + 1 < len(accs) else accs[i]
+                    for i in range(0, len(accs), 2)]
+        return accs[0].reshape(1, tile[1], tile[2]), slot, ids
 
     if mode in ("spmv", "residual"):
         def kernel(x_hbm, band_ref, *rest):
@@ -154,7 +195,7 @@ def _make_kernel(tile, pads, mode, win_al, kc):
             else:
                 b_ref, out_ref, xw, sem = rest
             k = pl.program_id(3)
-            acc = body_common(k, x_hbm, band_ref, xw, sem)
+            acc, _, _ = body_common(k, x_hbm, band_ref, xw, sem)
 
             @pl.when(k == 0)
             def _():
@@ -170,11 +211,47 @@ def _make_kernel(tile, pads, mode, win_al, kc):
                     out_ref[...] = b_ref[...] - out_ref[...]
         return kernel
 
-    # jacobi: needs diag + b + omega; finalize on the last chunk
-    def kernel(omega_ref, x_hbm, band_ref, b_ref, diag_ref, *rest):
+    if mode == "jacobi":
+        # jacobi: needs diag + b + omega; finalize on the last chunk
+        def kernel(omega_ref, x_hbm, band_ref, b_ref, diag_ref, *rest):
+            out_ref, xw, sem = rest
+            k = pl.program_id(3)
+            acc, slot, _ = body_common(k, x_hbm, band_ref, xw, sem)
+
+            @pl.when(k == 0)
+            def _():
+                out_ref[...] = acc
+
+            @pl.when(k > 0)
+            def _():
+                out_ref[...] = out_ref[...] + acc
+
+            @pl.when(k == kc - 1)
+            def _():
+                center = xw[slot, pl.ds(p1, 1), pl.ds(p2, tile[1]),
+                            pl.ds(p3, tile[2])].reshape(1, tile[1], tile[2])
+                omega = omega_ref[0]
+                out_ref[...] = center + omega * (
+                    b_ref[...] - out_ref[...]) / diag_ref[...]
+        return kernel
+
+    # rbgs one-color phase (SURVEY.md §7.1.5): fused full SpMV + masked
+    # hybrid-GS update.  ``mode`` is ("rbgs", color, parity_coeffs) with
+    # color ∈ {0, 1} static and parity_coeffs the per-(lifted-)dim parity
+    # weights of the GLOBAL grid index (1D planking gives dim coefficients
+    # (0, W%2, 1); true 2D/3D give all-ones on the real dims).  The dynamic
+    # part of the parity base (distributed block offsets, traced under
+    # shard_map) arrives as the scalar-prefetch ``pbase_ref``.
+    #
+    #   offdiag = A·x − diag·x
+    #   x'[c]   = (1−ω)·x[c] + ω·(b − offdiag)[c]/diag   on color-c points
+    _, color, pcoef = mode
+
+    def kernel(omega_ref, pbase_ref, x_hbm, band_ref, b_ref, diag_ref,
+               *rest):
         out_ref, xw, sem = rest
         k = pl.program_id(3)
-        acc = body_common(k, x_hbm, band_ref, xw, sem)
+        acc, slot, ids = body_common(k, x_hbm, band_ref, xw, sem)
 
         @pl.when(k == 0)
         def _():
@@ -184,17 +261,36 @@ def _make_kernel(tile, pads, mode, win_al, kc):
         def _():
             out_ref[...] = out_ref[...] + acc
 
+        # tile-start parity contribution must be bound outside pl.when
+        base = (pbase_ref[0]
+                + pcoef[0] * ids[0] * tile[0]
+                + pcoef[1] * ids[1] * tile[1]
+                + pcoef[2] * ids[2] * tile[2])
+
         @pl.when(k == kc - 1)
         def _():
-            center = xw[pl.ds(p1, 1), pl.ds(p2, tile[1]),
+            center = xw[slot, pl.ds(p1, 1), pl.ds(p2, tile[1]),
                         pl.ds(p3, tile[2])].reshape(1, tile[1], tile[2])
             omega = omega_ref[0]
-            out_ref[...] = center + omega * (
-                b_ref[...] - out_ref[...]) / diag_ref[...]
+            diag = diag_ref[...]
+            offdiag = out_ref[...] - diag * center
+            gs = (b_ref[...] - offdiag) / diag
+            upd = (1.0 - omega) * center + omega * gs
+            lin = base
+            if pcoef[1]:
+                lin = lin + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, tile[1], tile[2]), 1)
+            if pcoef[2]:
+                lin = lin + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, tile[1], tile[2]), 2)
+            mask = jax.lax.rem(lin, jnp.int32(2)) == color
+            out_ref[...] = jnp.where(mask, upd, center)
     return kernel
 
 
-def _stencil_call(band_t, x_pad, b, omega, npts, pads, mode, interpret):
+def _stencil_call(band_t, x_pad, b, omega, npts, pads, mode, interpret,
+                  pbase=None):
+    kind = mode[0] if isinstance(mode, tuple) else mode
     dtype = band_t.dtype
     itemsize = jnp.dtype(dtype).itemsize
     kc = 2 * pads[0] + 1
@@ -202,7 +298,7 @@ def _stencil_call(band_t, x_pad, b, omega, npts, pads, mode, interpret):
     tile = _choose_tiles(npts, pads, itemsize)
     band_t, x_pad, b, N, win_al = _pad_operands(band_t, x_pad, b, npts,
                                                 pads, tile)
-    diag = band_t[tuple(pads)] if mode == "jacobi" else None
+    diag = band_t[tuple(pads)] if kind in ("jacobi", "rbgs") else None
     grid = (N[0] // tile[0], N[1] // tile[1], N[2] // tile[2], kc)
 
     band_spec = pl.BlockSpec(
@@ -213,25 +309,26 @@ def _stencil_call(band_t, x_pad, b, omega, npts, pads, mode, interpret):
                             lambda i, j, l, k, *_: (i, j, l),
                             memory_space=pltpu.VMEM)
     # x stays in HBM: halo windows overlap between tiles, which BlockSpec
-    # pipelining can't express; a manual per-tile DMA can.
+    # pipelining can't express; a manual (double-buffered) per-tile DMA can.
     x_spec = pl.BlockSpec(memory_space=pltpu.HBM)
-    scratch = [pltpu.VMEM(win_al, dtype), pltpu.SemaphoreType.DMA]
+    scratch = [pltpu.VMEM((2,) + win_al, dtype),
+               pltpu.SemaphoreType.DMA((2,))]
     out_shape = jax.ShapeDtypeStruct(N, dtype)
-    kernel = _make_kernel(tile, pads, mode, win_al, kc)
+    kernel = _make_kernel(tile, pads, mode, win_al, kc, grid[:3])
 
-    if mode == "spmv":
+    if kind == "spmv":
         out = pl.pallas_call(
             kernel, grid=grid, in_specs=[x_spec, band_spec],
             out_specs=vec_spec, out_shape=out_shape,
             scratch_shapes=scratch, interpret=interpret,
         )(x_pad, band_t)
-    elif mode == "residual":
+    elif kind == "residual":
         out = pl.pallas_call(
             kernel, grid=grid, in_specs=[x_spec, band_spec, vec_spec],
             out_specs=vec_spec, out_shape=out_shape,
             scratch_shapes=scratch, interpret=interpret,
         )(x_pad, band_t, b)
-    else:
+    elif kind == "jacobi":
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[x_spec, band_spec, vec_spec, vec_spec],
@@ -240,6 +337,16 @@ def _stencil_call(band_t, x_pad, b, omega, npts, pads, mode, interpret):
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
         )(jnp.asarray([omega], dtype), x_pad, band_t, b, diag)
+    else:  # rbgs color phase
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=grid,
+            in_specs=[x_spec, band_spec, vec_spec, vec_spec],
+            out_specs=vec_spec, scratch_shapes=scratch)
+        pbase_arr = jnp.asarray(pbase, jnp.int32).reshape(1)
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(jnp.asarray([omega], dtype), pbase_arr, x_pad, band_t, b, diag)
     if N != tuple(npts):
         out = out[tuple(slice(0, n) for n in npts)]
     return out
@@ -279,28 +386,41 @@ def _unplank(out2, n):
 # public entry points
 # ---------------------------------------------------------------------------
 
-def _dispatch(band_t, x_pad, b, omega, npts, pads, mode, interpret):
+def _dispatch(band_t, x_pad, b, omega, npts, pads, mode, interpret,
+              color=None, starts=None):
     nd = len(npts)
+    if starts is None:
+        starts = (0,) * nd
     if nd == 1:
         n, p = npts[0], pads[0]
         band2_t, x2, b2, R, W, n_pad = _plank_1d(band_t, x_pad, b, n, p)
         # lift planked 2D to 3D with pads (0, 0, p): halo along lanes only.
         # band gets unit win AND unit grid dims for the lifted axis.
+        # Parity of the flat global index r·W + c + start: W is even, so the
+        # per-dim parity coefficients are (0, 0, 1) and the base is start.
+        if isinstance(mode, str) and mode == "rbgs":
+            mode = ("rbgs", color, (0, W % 2, 1))
         band6 = band2_t[None, None, :, None]    # (1, 1, w, 1, R, W)
         out = _stencil_call(band6, x2[None],
                             None if b2 is None else b2[None], omega,
-                            (1, R, W), (0, 0, p), mode, interpret)
+                            (1, R, W), (0, 0, p), mode, interpret,
+                            pbase=starts[0])
         return _unplank(out[0], n)
     if nd == 2:
+        if isinstance(mode, str) and mode == "rbgs":
+            mode = ("rbgs", color, (0, 1, 1))
         band6 = band_t[None, :, :, None]        # (1, w1, w2, 1, n1, n2)
         out = _stencil_call(band6, x_pad[None],
                             None if b is None else b[None], omega,
                             (1,) + tuple(npts), (0,) + tuple(pads),
-                            mode, interpret)
+                            mode, interpret, pbase=starts[0] + starts[1])
         return out[0]
     if nd == 3:
+        if isinstance(mode, str) and mode == "rbgs":
+            mode = ("rbgs", color, (1, 1, 1))
         return _stencil_call(band_t, x_pad, b, omega, tuple(npts),
-                             tuple(pads), mode, interpret)
+                             tuple(pads), mode, interpret,
+                             pbase=starts[0] + starts[1] + starts[2])
     raise NotImplementedError("pallas kernels cover 1D/2D/3D")
 
 
@@ -321,3 +441,22 @@ def jacobi_fused_pallas(band_t, x_pad, b, omega, npts, pads, interpret=False):
     """x' = x + ω·(b − A·x)/diag(A) in one fused pass (SURVEY.md §7.0)."""
     return _dispatch(band_t, x_pad, b, float(omega), tuple(npts),
                      tuple(pads), "jacobi", interpret)
+
+
+def rbgs_color_pallas(band_t, x_pad, b, omega, color, npts, pads,
+                      starts=None, interpret=False):
+    """One red-black Gauss–Seidel COLOR PHASE in a single fused pass
+    (SURVEY.md §7.1.5): full banded SpMV + masked hybrid-GS update,
+
+        x'[i] = (1−ω)·x[i] + ω·(b − (A·x)_offdiag)[i]/diag   if parity(i)==color
+                x[i]                                          otherwise
+
+    where parity is over the GLOBAL index sum (``starts``: per-dim global
+    block offsets, traced under shard_map — mg/smoother.py::color_mask's
+    convention).  Replaces round 1's full jnp off-diagonal SpMV per color
+    (VERDICT.md missing #3): same band traffic, kernel-rate compute, and
+    the mask/update fused so the vector never round-trips HBM.
+    """
+    return _dispatch(band_t, x_pad, b, float(omega), tuple(npts),
+                     tuple(pads), "rbgs", interpret, color=int(color),
+                     starts=starts)

@@ -1,0 +1,194 @@
+"""Two-float (double-word f32) arithmetic for high-precision residuals.
+
+SURVEY.md §7.2.1 names this the #1 risk item: the headline tolerance
+(‖r‖ ≤ 1e-10, BASELINE.json:2) needs ~>40 mantissa bits, TPU hardware has
+24 (f32), and XLA's f64 emulation is the measured dominant cost of the
+mixed-precision iteration (BASELINE.md round-1 row 5).  This module
+implements the standard error-free-transformation (EFT) toolbox —
+Dekker/Knuth two_sum / two_prod and double-word add/mul (Joldes, Muller &
+Popescu, "Tight and rigorous error bounds for basic building blocks of
+double-word arithmetic", ACM TOMS 2017) — on f32 pairs ``(hi, lo)`` with
+``hi + lo`` representing a ~48-bit-mantissa value (|lo| ≤ ulp(hi)/2).
+
+All functions are elementwise jnp code: on TPU they compile to plain VPU
+f32 ops (no f64 emulation anywhere), and XLA's FMA contraction, if it
+fires, *improves* two_prod (fma(a, b, -a·b) is the exact product residue).
+
+The headline use is :func:`residual_kron_df`: r = b − A·x for a
+Kronecker-sum operator with everything carried in double-word f32 —
+the fast path for the defect-correction outer loop (mg/mixed.py).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+__all__ = ["split_f64", "merge_f64", "two_sum", "two_prod", "dw_add",
+           "dw_mul", "dw_neg", "residual_kron_df", "dw_norm2"]
+
+_SPLIT = jnp.float32(4097.0)  # Dekker split constant for f32: 2^12 + 1
+
+
+def split_f64(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split an f64 array into a double-word f32 pair.
+
+    hi = f32(x); lo = f32(x − hi).  |x − (hi+lo)| ≤ 2⁻⁴⁹|x|: a double-word
+    f32 carries ~49 mantissa bits, so the bottom ~4 bits of an f64 are
+    dropped — far below the 1e-10 target.  (Setup-time only — the point of
+    the module is that everything *after* this is f32.)
+    """
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def merge_f64(hi, lo):
+    """(hi, lo) → f64 (for verification / the final correction only)."""
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def two_sum(a, b):
+    """Knuth two_sum: s + e == a + b exactly (6 flops, branch-free)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _fast_two_sum(a, b):
+    """Dekker fast_two_sum (requires |a| >= |b|): s + e == a + b."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def two_prod(a, b):
+    """Dekker two_prod: p + e == a·b exactly (f32, no FMA required)."""
+    p = a * b
+    ca = _SPLIT * a
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = _SPLIT * b
+    bh = cb - (cb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def dw_add(xh, xl, yh, yl):
+    """Double-word + double-word (AccurateDWPlusDW, ~2 ulp_dw)."""
+    sh, sl = two_sum(xh, yh)
+    th, tl = two_sum(xl, yl)
+    c = sl + th
+    vh, vl = _fast_two_sum(sh, c)
+    w = tl + vl
+    return _fast_two_sum(vh, w)
+
+
+def dw_mul(xh, xl, yh, yl):
+    """Double-word × double-word (DWTimesDW, ~5 ulp_dw)."""
+    ph, pl = two_prod(xh, yh)
+    t = xh * yl + xl * yh
+    return _fast_two_sum(ph, pl + t)
+
+
+def dw_mul_fd(a, xh, xl):
+    """f32 × double-word."""
+    ph, pl = two_prod(a, xh)
+    return _fast_two_sum(ph, pl + a * xl)
+
+
+def dw_neg(xh, xl):
+    return -xh, -xl
+
+
+def _apply_band_1d_axis_df(b1h, b1l, xh, xl, axis: int, pad: int):
+    """Double-word twin of core/kron.py::apply_band_1d_axis:
+    y[..., i, ...] = Σ_t band1[i, t] · x_pad[..., i + t, ...]."""
+    n = xh.shape[axis]
+    nd = xh.ndim
+    pw = [(pad, pad) if b == axis else (0, 0) for b in range(nd)]
+    xph = jnp.pad(xh, pw)
+    xpl = jnp.pad(xl, pw)
+    oh = ol = None
+    for t in range(2 * pad + 1):
+        sl = tuple(slice(t, t + n) if b == axis else slice(None)
+                   for b in range(nd))
+        bshape = [1] * nd
+        bshape[axis] = n
+        ch = b1h[:, t].reshape(bshape)
+        cl = b1l[:, t].reshape(bshape)
+        th, tl = dw_mul(ch, cl, xph[sl], xpl[sl])
+        if oh is None:
+            oh, ol = th, tl
+        else:
+            oh, ol = dw_add(oh, ol, th, tl)
+    return oh, ol
+
+
+def residual_kron_df(terms_df: Sequence[Sequence[Tuple]], bh, bl, xh, xl,
+                     pads) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """r = b − (Σ_r ⊗_a B_r^(a))·x in double-word f32.
+
+    ``terms_df``: per term, per axis, (band_hi, band_lo) f32 pairs of shape
+    (n_a, 2p_a+1) (split from the f64 bands at setup).  ``bh/bl``, ``xh/xl``:
+    double-word RHS and iterate.  Mirrors the shared-partial-product
+    application of core/kron.py but in ~48-bit precision — the structure
+    sharing is identical, so the flop count is the Kronecker O(n·Σ(2p+1))
+    times the ~10× double-word overhead, still far below XLA's f64
+    emulation (BASELINE.md row 5).
+    """
+    d = xh.ndim
+    # shared partials keyed by (axis-label history) — same scheme as
+    # core/kron.py::_apply_interior, with identity on the stored hi arrays
+    labels = []
+    for a in range(d):
+        seen = {}
+        row = []
+        for term in terms_df:
+            key = id(term[a][0])
+            if key not in seen:
+                seen[key] = len(seen)
+            row.append(seen[key])
+        labels.append(row)
+    partials = {r: (xh, xl) for r in range(len(terms_df))}
+    hist = {r: () for r in range(len(terms_df))}
+    for a in range(d - 1, -1, -1):
+        cache = {}
+        for r, term in enumerate(terms_df):
+            key = hist[r] + (labels[a][r],)
+            if key not in cache:
+                ph, plo = partials[r]
+                cache[key] = _apply_band_1d_axis_df(term[a][0], term[a][1],
+                                                    ph, plo, a, pads[a])
+            partials[r] = cache[key]
+            hist[r] = key
+    axh = axl = None
+    for r in partials:
+        ph, plo = partials[r]
+        if axh is None:
+            axh, axl = ph, plo
+        else:
+            axh, axl = dw_add(axh, axl, ph, plo)
+    return dw_add(bh, bl, -axh, -axl)
+
+
+def dw_norm2(xh, xl):
+    """‖x‖₂ of a double-word array, accumulated in double-word.
+
+    Squares via dw_mul, summed with a two_sum cascade over a flat pairwise
+    tree (log-depth, keeps the error ~ulp_dw · log n).
+    """
+    fh = xh.reshape(-1)
+    fl = xl.reshape(-1)
+    sh, sl = dw_mul(fh, fl, fh, fl)
+    while sh.shape[0] > 1:
+        m = sh.shape[0]
+        half = (m + 1) // 2
+        pad = half * 2 - m
+        if pad:
+            sh = jnp.concatenate([sh, jnp.zeros((pad,), sh.dtype)])
+            sl = jnp.concatenate([sl, jnp.zeros((pad,), sl.dtype)])
+        sh, sl = dw_add(sh[0::2], sl[0::2], sh[1::2], sl[1::2])
+    return jnp.sqrt(sh[0].astype(jnp.float64) + sl[0].astype(jnp.float64))

@@ -36,13 +36,13 @@ from jax.sharding import PartitionSpec as P
 from poms_tpu.core.vector import StencilVector
 from poms_tpu.mg.cycles import CycleConfig, cycle
 from poms_tpu.mg.hierarchy import build_hierarchy
-from poms_tpu.mg.smoother import color_mask
 from poms_tpu.mg.solver import SolveResult
 from poms_tpu.models.bspline import prolongation_interior_1d
 from poms_tpu.models.poisson import PoissonProblem
 from poms_tpu.ops.transfer import bands_from_dense
+from poms_tpu.ops import dispatch as _ops
 from poms_tpu.parallel.halo import (HaloSpec, dist_norm2, dist_spmv,
-                                    dist_spmv_offdiag, local_starts)
+                                    local_starts, pad_and_exchange)
 from poms_tpu.parallel.transfers import (DistTransfer1D, build_dist_transfer,
                                          dist_apply_transfer)
 
@@ -89,12 +89,21 @@ class DistributedMG:
     def __init__(self, problem: PoissonProblem, num_levels: int,
                  mesh_shape: Tuple[int, ...],
                  cfg: CycleConfig = CycleConfig(), devices=None,
-                 dist_levels: int | str = "auto", overlap: bool = False):
+                 dist_levels: int | str = "auto", overlap: bool = False,
+                 mixed: bool = False):
         # ``overlap``: emit halo ppermutes independent of the interior SpMV
         # so XLA can overlap communication with compute (SURVEY.md §7.1.7);
         # results are equal to the non-overlapped path to f64 roundoff.
+        # ``mixed``: sharded defect correction (SURVEY.md §7.2.1 composed
+        # with configs 4/5 — VERDICT.md round-1 missing #5): the V/W-cycle
+        # runs on an f32 cast of the sharded hierarchy (Pallas kernels on
+        # TPU) inside an f64 residual loop, with semantics identical to the
+        # serial :class:`poms_tpu.mg.mixed.MixedPrecisionMG` step.
         if num_levels < 2:
             raise ValueError("DistributedMG needs >= 2 levels")
+        if mixed and jnp.dtype(problem.space.dtype) != jnp.dtype(jnp.float64):
+            raise ValueError("mixed=True needs an f64 problem; the f32 "
+                             "hierarchy is derived from it")
         if cfg.smoother.kind not in ("jacobi", "rbgs", "chebyshev"):
             raise ValueError(
                 f"smoother {cfg.smoother.kind!r} is not distributed "
@@ -112,6 +121,7 @@ class DistributedMG:
                                                       self.levels[0].A))
         self.cfg = cfg
         self.overlap = overlap
+        self.mixed = mixed
         from poms_tpu.mg.smoother import attach_spectral_estimates
 
         self.lams = attach_spectral_estimates(self.levels, cfg.smoother)
@@ -255,13 +265,14 @@ class DistributedMG:
                     x_loc = x_loc + dd
                     rho = rho_new
                 return x_loc
+            # RB-GS: fused per-color kernel (Pallas on TPU) with GLOBAL
+            # parity from the block offsets (VERDICT.md next-round #2)
             starts = local_starts(spec)
             for color in (0, 1):
-                mask = color_mask(spec.n_loc, color, starts)
-                s = dist_spmv_offdiag(band_loc, x_loc, spec)
-                gs = (b_loc - s) / diag_loc
-                x_loc = jnp.where(mask, (1 - omega) * x_loc + omega * gs,
-                                  x_loc)
+                x_pad = pad_and_exchange(x_loc, spec)
+                x_loc = _ops.rbgs_color(band_loc, x_pad, b_loc, omega,
+                                        color, spec.n_loc, spec.pads,
+                                        starts)
             return x_loc
 
         def gather_full(x_loc, N, npts):
@@ -317,12 +328,31 @@ class DistributedMG:
                 x_loc = smooth(l, band_loc, x_loc, b_loc)
             return x_loc
 
+        mixed = self.mixed
+
         def body(x_loc, b_loc, bands, transfers, tail, tail_tr):
             x_loc = vcycle_local(0, x_loc, b_loc, bands, transfers, tail,
                                  tail_tr)
             spec0 = dist_meta[0].spec
             r_loc = b_loc - dist_spmv(bands[0], x_loc, spec0)
             rn = dist_norm2(r_loc, spec0)
+            return x_loc, rn
+
+        def body_mixed(x_loc, b_loc, bands, bands_lo, transfers, tail,
+                       tail_tr):
+            # sharded defect correction x ← x + E(b − A x): f64 residual,
+            # f32 cycle on the residual scaled to O(1) — step-for-step
+            # identical to mg/mixed.py::MixedPrecisionMG
+            spec0 = dist_meta[0].spec
+            r_loc = b_loc - dist_spmv(bands[0], x_loc, spec0, overlap)
+            scale = dist_norm2(r_loc, spec0)
+            safe = jnp.where(scale > 0, scale, 1.0)
+            r_lo = (r_loc / safe).astype(jnp.float32)
+            e_lo = vcycle_local(0, jnp.zeros_like(r_lo), r_lo, bands_lo,
+                                transfers, tail, tail_tr)
+            x_loc = x_loc + e_lo.astype(x_loc.dtype) * safe
+            r2 = b_loc - dist_spmv(bands[0], x_loc, spec0, overlap)
+            rn = dist_norm2(r2, spec0)
             return x_loc, rn
 
         rep = P()
@@ -332,6 +362,34 @@ class DistributedMG:
         transfers = [(self.dist[l].restrict, self.dist[l].prolong)
                      for l in range(L_dist - 1)]
         tail_tr = (tail_restrict, tail_prolong)
+
+        if mixed:
+            from poms_tpu.mg.mixed import _cast_levels
+
+            def cast32(leaf):
+                if (hasattr(leaf, "dtype")
+                        and jnp.issubdtype(leaf.dtype, jnp.floating)):
+                    return leaf.astype(jnp.float32)
+                return leaf
+
+            bands_lo = [b.astype(jnp.float32) for b in bands]
+            transfers = jax.tree.map(cast32, transfers)
+            serial_tail = _cast_levels(serial_tail, jnp.float32)
+            tail_tr = jax.tree.map(cast32, tail_tr)
+            smap = jax.shard_map(
+                body_mixed, mesh=self.mesh,
+                in_specs=(self._grid_spec, self._grid_spec,
+                          band_specs, band_specs,
+                          jax.tree.map(lambda _: rep, transfers),
+                          jax.tree.map(lambda _: rep, serial_tail),
+                          jax.tree.map(lambda _: rep, tail_tr)),
+                out_specs=(self._grid_spec, rep))
+
+            def step(x_glob, b_glob):
+                return smap(x_glob, b_glob, bands, bands_lo, transfers,
+                            serial_tail, tail_tr)
+
+            return step
 
         smap = jax.shard_map(
             body, mesh=self.mesh,

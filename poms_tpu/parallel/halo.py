@@ -22,6 +22,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from poms_tpu.ops import dispatch as _ops
 from poms_tpu.ops.spmv import spmv_banded_jnp, spmv_offdiag_jnp
 
 __all__ = ["HaloSpec", "halo_exchange", "pad_and_exchange", "dist_spmv",
@@ -131,12 +132,14 @@ def dist_spmv(band_loc: jnp.ndarray, x_loc: jnp.ndarray,
     """
     if not overlap:
         x_pad = pad_and_exchange(x_loc, spec)
-        return spmv_banded_jnp(band_loc, x_pad, spec.n_loc, spec.pads)
+        # per-device block SpMV dispatches to the Pallas kernel on TPU
+        # (f32/bf16) and to the jnp reference elsewhere (f64, CPU mesh)
+        return _ops.spmv(band_loc, x_pad, spec.n_loc, spec.pads)
     nd = len(spec.axes)
     n_loc, pads = spec.n_loc, spec.pads
     # interior term: zero ghosts — NO dependency on the ppermutes
     x_pad0 = jnp.pad(x_loc, [(ax.pad, ax.pad) for ax in spec.axes])
-    out = spmv_banded_jnp(band_loc, x_pad0, n_loc, pads)
+    out = _ops.spmv(band_loc, x_pad0, n_loc, pads)
     # ghost-only field: real exchange, then zero the interior (linearity)
     x_ex = halo_exchange(x_pad0, spec)
     interior = tuple(slice(ax.pad, ax.pad + ax.n_loc) for ax in spec.axes)

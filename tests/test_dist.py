@@ -181,6 +181,36 @@ def test_dist_chebyshev_and_wcycle_match_serial():
                                rtol=1e-6, atol=1e-13)
 
 
+@pytest.mark.parametrize("smoother,omega,dim,n_el,mesh_shape,levels", [
+    ("jacobi", 0.7, 2, 32, (4, 2), 3),
+    ("rbgs", 1.0, 2, 16, (2, 2), 2),
+    ("rbgs", 1.0, 3, 8, (2, 2, 2), 2),
+])
+def test_dist_mixed_matches_serial_mixed(smoother, omega, dim, n_el,
+                                         mesh_shape, levels):
+    """Sharded defect correction ≡ serial MixedPrecisionMG: same iteration
+    count to 1e-10 and matching residual histories (VERDICT.md #3).  The
+    f32 cycle rounds per-device summation differently, so histories match
+    to f32-level relative tolerance, and the final f64 residual is checked
+    independently."""
+    from poms_tpu.mg.mixed import MixedPrecisionMG
+
+    prob = poisson_problem(dim, n_el, degree=2)
+    cfg = CycleConfig(smoother=SmootherConfig(kind=smoother, omega=omega))
+    serial = MixedPrecisionMG(prob, num_levels=levels, cfg=cfg)
+    res_s = serial.solve(tol=1e-10, maxiter=80)
+    dist = DistributedMG(prob, num_levels=levels, mesh_shape=mesh_shape,
+                         cfg=cfg, mixed=True)
+    res_d = dist.solve(tol=1e-10, maxiter=80)
+    assert res_s.converged and res_d.converged
+    assert abs(res_d.iterations - res_s.iterations) <= 1
+    n = min(len(res_s.residuals), len(res_d.residuals))
+    np.testing.assert_allclose(res_d.residuals[:n], res_s.residuals[:n],
+                               rtol=2e-4, atol=1e-12)
+    r = prob.b - prob.A.dot(res_d.x)
+    assert float(r.norm()) <= 2e-10
+
+
 def test_overlap_spmv_equivalence():
     """Interior + disjoint-shell-correction SpMV == plain exchanged SpMV."""
     from poms_tpu.parallel.halo import HaloSpec as HS, dist_spmv as dsp

@@ -57,6 +57,34 @@ def test_residual_fused_interpret(npts, p):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("npts,p", CASES)
+@pytest.mark.parametrize("starts_off", [0, 1])
+def test_rbgs_color_fused_interpret(npts, p, starts_off):
+    """Fused RB-GS color phase ≡ masked jnp formulation (both colors,
+    incl. nonzero global block offsets as under shard_map)."""
+    from poms_tpu.mg.smoother import color_mask
+    from poms_tpu.ops.pallas.spmv import rbgs_color_pallas
+    from poms_tpu.ops.spmv import spmv_offdiag_jnp
+
+    d = len(npts)
+    pads = (p,) * d
+    band, xpad, b = _setup(npts, p, seed=3)
+    band = band.at[pads].set(band[pads] + 5.0)
+    diag = band[pads]
+    starts = (starts_off,) * d
+    omega = 0.9
+    xc = xpad[tuple(slice(p, p + n) for n in npts)]
+    for color in (0, 1):
+        s = spmv_offdiag_jnp(band, xpad, npts, pads)
+        gs = (b - s) / diag
+        mask = color_mask(npts, color, starts)
+        ref = jnp.where(mask, (1.0 - omega) * xc + omega * gs, xc)
+        out = rbgs_color_pallas(band, xpad, b, omega, color, npts, pads,
+                                starts=starts, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-6)
+
+
 @pytest.mark.parametrize("npts,p", CASES[::2])
 def test_jacobi_fused_interpret(npts, p):
     d = len(npts)
