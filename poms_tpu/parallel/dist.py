@@ -101,9 +101,14 @@ class DistributedMG:
         # serial :class:`poms_tpu.mg.mixed.MixedPrecisionMG` step.
         if num_levels < 2:
             raise ValueError("DistributedMG needs >= 2 levels")
-        if mixed and jnp.dtype(problem.space.dtype) != jnp.dtype(jnp.float64):
-            raise ValueError("mixed=True needs an f64 problem; the f32 "
-                             "hierarchy is derived from it")
+        if mixed and problem.b.interior.dtype != jnp.dtype(jnp.float64):
+            # check a MATERIALIZED array, not space metadata: with
+            # jax_enable_x64 off, the space still *says* float64 while every
+            # buffer silently truncated to f32 — the exact failure mode this
+            # guard exists to reject (ADVICE r2 / MULTICHIP_r02 regression)
+            raise ValueError(
+                "mixed=True needs f64 buffers; got "
+                f"{problem.b.interior.dtype} (is jax_enable_x64 set?)")
         if cfg.smoother.kind not in ("jacobi", "rbgs", "chebyshev"):
             raise ValueError(
                 f"smoother {cfg.smoother.kind!r} is not distributed "
