@@ -46,7 +46,12 @@ def probe_stream(n: int, p: int, contiguous: bool):
         block = (1, w, w, 1, t2, _LANE)
         imap = lambda i, j, l, k: (k, 0, 0, i, j, l)
 
-    def kernel(band_ref, out_ref):
+    def kernel(x_ref, band_ref, out_ref):
+        # x_ref: the loop carry, consumed INSIDE the kernel — without it the
+        # pallas_call is loop-invariant and XLA hoists it clean out of the
+        # timing fori_loop (round-2's "1.4 ms stream floor" was exactly that
+        # artifact: 2083 GB/s ≫ the 819 GB/s HBM spec).  x adds n³·4 B of
+        # traffic (~0.3% of the band), which the nbytes accounting includes.
         k = pl.program_id(3)
         acc = None
         for k2 in range(w):
@@ -59,7 +64,7 @@ def probe_stream(n: int, p: int, contiguous: bool):
 
         @pl.when(k == 0)
         def _():
-            out_ref[...] = acc.reshape(1, t2, _LANE)
+            out_ref[...] = acc.reshape(1, t2, _LANE) + 1e-6 * x_ref[...]
 
         @pl.when(k > 0)
         def _():
@@ -73,19 +78,20 @@ def probe_stream(n: int, p: int, contiguous: bool):
     band = make()
     jax.block_until_ready(band)
     out_shape = jax.ShapeDtypeStruct((n, n, n), jnp.float32)
+    xvec_spec = pl.BlockSpec((1, t2, _LANE), lambda i, j, l, k: (i, j, l),
+                             memory_space=pltpu.VMEM)
 
     def step(x, bnd):
-        y = pl.pallas_call(
+        return pl.pallas_call(
             kernel, grid=grid,
-            in_specs=[pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, t2, _LANE), lambda i, j, l, k: (i, j, l),
-                                   memory_space=pltpu.VMEM),
-            out_shape=out_shape)(bnd)
-        return y + 1e-6 * x  # chain dependency
+            in_specs=[xvec_spec,
+                      pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)],
+            out_specs=xvec_spec,
+            out_shape=out_shape)(x, bnd)
 
     x0 = jnp.zeros((n, n, n), jnp.float32)
     wall = time_step_loop(step, x0, consts=(band,), iters=20)
-    nbytes = w ** 3 * n ** 3 * 4
+    nbytes = (w ** 3 + 2) * n ** 3 * 4
     gbps = nbytes / wall / 1e9
     sol = sol_bandwidth()
     name = "streamc" if contiguous else "stream"

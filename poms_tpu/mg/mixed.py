@@ -60,11 +60,26 @@ def _cast_levels(levels, dtype):
 
 
 class MixedPrecisionMG:
-    """Defect-correction multigrid: f64 residuals, f32 cycles."""
+    """Defect-correction multigrid: high-precision residuals, f32 cycles.
+
+    ``residual`` selects how the outer residual r = b − A·x is computed:
+
+    - ``"f64"``      — jnp f64 (XLA-emulated on TPU; the measured dominant
+                       per-iteration cost — BASELINE.md row 5).
+    - ``"twofloat"`` — double-word f32 via the EFT toolbox
+                       (:mod:`poms_tpu.ops.twofloat`): the iterate, RHS and
+                       residual are carried as (hi, lo) f32 pairs (~49
+                       mantissa bits) and the Kronecker-structured residual
+                       runs entirely on f32 VPU ops — NO f64 emulation
+                       anywhere in the iterate loop (VERDICT r2 ask #3).
+                       Requires ``operator="kron"``.
+    - ``"auto"``     — "twofloat" when the operator is kron, else "f64".
+    """
 
     def __init__(self, problem: PoissonProblem, num_levels: int,
                  cfg: CycleConfig = CycleConfig(),
-                 low_dtype=jnp.float32, operator: str = "banded"):
+                 low_dtype=jnp.float32, operator: str = "banded",
+                 residual: str = "auto"):
         if problem.space.dtype != jnp.dtype(jnp.float64):
             raise ValueError("build the problem in f64; the low-precision "
                              "hierarchy is derived from it")
@@ -73,6 +88,14 @@ class MixedPrecisionMG:
         from poms_tpu.mg.smoother import (attach_spectral_estimates,
                                           resolve_omega)
 
+        if residual == "auto":
+            residual = "twofloat" if operator == "kron" else "f64"
+        if residual not in ("f64", "twofloat"):
+            raise ValueError(f"residual={residual!r}")
+        if residual == "twofloat" and operator != "kron":
+            raise ValueError("residual='twofloat' needs the Kronecker-sum "
+                             "operator (structure the dw residual exploits)")
+        self.residual_mode = residual
         self.problem = problem
         self.levels64 = build_hierarchy(problem, num_levels,
                                         operator=operator)
@@ -100,9 +123,78 @@ class MixedPrecisionMG:
 
         self._step = jax.jit(step)
 
+        if residual == "twofloat":
+            from poms_tpu.ops.twofloat import (dw_add, dw_norm2,
+                                               residual_kron_df, split_f64,
+                                               two_prod)
+
+            # split each DISTINCT 1D band once so the sharing labels (static,
+            # from the concrete f64 bands) stay valid for the split pairs
+            labels = A64._band_labels()
+            seen = {}
+            terms_df = []
+            for term in A64.terms:
+                row = []
+                for B in term:
+                    key = id(B)
+                    if key not in seen:
+                        seen[key] = split_f64(
+                            jnp.asarray(B, jnp.float64))
+                    row.append(seen[key])
+                terms_df.append(tuple(row))
+            self._terms_df = tuple(terms_df)
+            pads = problem.space.pads
+
+            def step_tf(levels32, terms_df, xh, xl, rh, rl, bh, bl):
+                # one correction from the CURRENT residual, then the new
+                # residual — everything except two O(1) scalar ops is f32
+                scale = dw_norm2(rh, rl)
+                safe32 = jnp.where(scale > 0, scale, 1.0).astype(jnp.float32)
+                r32 = StencilVector.from_interior(sp32, rh / safe32)
+                e32 = cycle(levels32, 0, StencilVector.zeros(sp32), r32,
+                            cfg, lams)
+                ch, cl = two_prod(e32.interior, safe32)   # exact e·safe
+                xh, xl = dw_add(xh, xl, ch, cl)
+                rh, rl = residual_kron_df(terms_df, bh, bl, xh, xl, pads,
+                                          labels=labels)
+                rn = dw_norm2(rh, rl)
+                return xh, xl, rh, rl, rn
+
+            self._step_tf = jax.jit(step_tf)
+
+    def _solve_twofloat(self, b, tol, maxiter, logger):
+        from poms_tpu.ops.twofloat import merge_f64, split_f64
+
+        bh, bl = split_f64(b.interior)
+        xh = jnp.zeros_like(bh)
+        xl = jnp.zeros_like(bl)
+        rh, rl = bh, bl                       # r(x=0) = b, exactly
+        residuals = [float(b.norm())]
+        wall = []
+        it, converged = 0, residuals[-1] <= tol
+        while not converged and it < maxiter:
+            t0 = time.perf_counter()
+            xh, xl, rh, rl, rn = self._step_tf(
+                self.levels32, self._terms_df, xh, xl, rh, rl, bh, bl)
+            rn = float(rn)
+            wall.append(time.perf_counter() - t0)
+            residuals.append(rn)
+            it += 1
+            converged = rn <= tol
+            if logger is not None:
+                logger.log_cycle(cycle=it, residual=rn,
+                                 rho=rn / residuals[-2] if residuals[-2]
+                                 else 0.0, wall_s=wall[-1])
+        x = StencilVector.from_interior(self.problem.space,
+                                        merge_f64(xh, xl))
+        return SolveResult(x=x, residuals=residuals, iterations=it,
+                           converged=converged, wall_times=wall)
+
     def solve(self, b: Optional[StencilVector] = None, tol: float = 1e-10,
               maxiter: int = 100, logger=None) -> SolveResult:
         b = b if b is not None else self.problem.b
+        if self.residual_mode == "twofloat":
+            return self._solve_twofloat(b, tol, maxiter, logger)
         x = StencilVector.zeros(self.problem.space)
         residuals = [float(b.norm())]
         wall = []

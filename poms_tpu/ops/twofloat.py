@@ -128,7 +128,7 @@ def _apply_band_1d_axis_df(b1h, b1l, xh, xl, axis: int, pad: int):
 
 
 def residual_kron_df(terms_df: Sequence[Sequence[Tuple]], bh, bl, xh, xl,
-                     pads) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     pads, labels=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """r = b − (Σ_r ⊗_a B_r^(a))·x in double-word f32.
 
     ``terms_df``: per term, per axis, (band_hi, band_lo) f32 pairs of shape
@@ -138,20 +138,26 @@ def residual_kron_df(terms_df: Sequence[Sequence[Tuple]], bh, bl, xh, xl,
     sharing is identical, so the flop count is the Kronecker O(n·Σ(2p+1))
     times the ~10× double-word overhead, still far below XLA's f64
     emulation (BASELINE.md row 5).
+
+    ``labels``: optional precomputed sharing structure, labels[a][r] (see
+    KroneckerSumOperator._band_labels).  Pass it whenever ``terms_df`` are
+    jit TRACERS — the id()-based fallback below is only sound on concrete
+    arrays that stay alive (tracer ids lose sharing silently).
     """
     d = xh.ndim
-    # shared partials keyed by (axis-label history) — same scheme as
-    # core/kron.py::_apply_interior, with identity on the stored hi arrays
-    labels = []
-    for a in range(d):
-        seen = {}
-        row = []
-        for term in terms_df:
-            key = id(term[a][0])
-            if key not in seen:
-                seen[key] = len(seen)
-            row.append(seen[key])
-        labels.append(row)
+    if labels is None:
+        # shared partials keyed by (axis-label history) — same scheme as
+        # core/kron.py::_apply_interior, identity on the stored hi arrays
+        labels = []
+        for a in range(d):
+            seen = {}
+            row = []
+            for term in terms_df:
+                key = id(term[a][0])
+                if key not in seen:
+                    seen[key] = len(seen)
+                row.append(seen[key])
+            labels.append(row)
     partials = {r: (xh, xl) for r in range(len(terms_df))}
     hist = {r: () for r in range(len(terms_df))}
     for a in range(d - 1, -1, -1):

@@ -78,3 +78,48 @@ def test_mixed_precision_kron_operator():
     assert res.converged
     r = prob.b - prob.A.dot(res.x)
     assert float(r.norm()) <= 2e-10
+
+
+def test_twofloat_residual_reaches_1e10():
+    """Double-word-f32 outer residual (no f64 emulation in the loop) must
+    converge to the same 1e-10 target as the f64 residual path."""
+    prob = poisson_problem(2, 32, degree=3, operator="kron")
+    from poms_tpu.mg.smoother import SmootherConfig as SC
+    cfg = CycleConfig(nu1=1, nu2=1,
+                      smoother=SC("chebyshev", cheb_fraction=16.0))
+    mg = MixedPrecisionMG(prob, num_levels=3, cfg=cfg, operator="kron",
+                          residual="twofloat")
+    assert mg.residual_mode == "twofloat"
+    res = mg.solve(tol=1e-10, maxiter=60)
+    assert res.converged, res.residuals[-5:]
+    # independent f64 residual of the merged solution
+    r = prob.b - prob.A.dot(res.x)
+    assert float(r.norm()) <= 2e-10
+
+
+def test_twofloat_matches_f64_path():
+    """Residual histories of the dw-f32 and f64 outer loops agree closely
+    (the dw representation carries ~49 bits: ample for 1e-10)."""
+    prob = poisson_problem(2, 16, degree=2, operator="kron")
+    from poms_tpu.mg.smoother import SmootherConfig as SC
+    cfg = CycleConfig(nu1=1, nu2=1,
+                      smoother=SC("chebyshev", cheb_fraction=16.0))
+    r_f64 = MixedPrecisionMG(prob, num_levels=2, cfg=cfg, operator="kron",
+                             residual="f64").solve(tol=1e-10,
+                                                   maxiter=40).residuals
+    r_tf = MixedPrecisionMG(prob, num_levels=2, cfg=cfg, operator="kron",
+                            residual="twofloat").solve(tol=1e-10,
+                                                       maxiter=40).residuals
+    for a, b in zip(r_f64[:8], r_tf[:8]):
+        assert abs(a - b) / a < 0.05, (a, b)
+
+
+def test_twofloat_auto_and_guard():
+    prob = poisson_problem(1, 16, degree=2, operator="kron")
+    mg = MixedPrecisionMG(prob, num_levels=2, operator="kron")
+    assert mg.residual_mode == "twofloat"       # auto picks dw for kron
+    mg_b = MixedPrecisionMG(poisson_problem(1, 16, degree=2), num_levels=2)
+    assert mg_b.residual_mode == "f64"          # auto keeps f64 for banded
+    with pytest.raises(ValueError):
+        MixedPrecisionMG(poisson_problem(1, 16, degree=2), num_levels=2,
+                         residual="twofloat")
