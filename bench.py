@@ -28,23 +28,33 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_impl(impl):
-    cmd = [sys.executable, "-u", "-m", "poms_tpu.bench.one_impl",
-           impl, str(DIM), str(N), str(DEGREE)]
+def _run_subproc(cmd, tag):
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=TIMEOUT_S,
                               cwd=os.path.dirname(os.path.abspath(__file__)))
     except subprocess.TimeoutExpired:
-        log(f"impl {impl}: TIMEOUT after {TIMEOUT_S}s (tunnel stall?)")
+        log(f"{tag}: TIMEOUT after {TIMEOUT_S}s (tunnel stall?)")
         return None
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
     tail = (proc.stderr or "").strip().splitlines()[-3:]
-    log(f"impl {impl}: no result (exit {proc.returncode}); stderr tail: "
+    log(f"{tag}: no result (exit {proc.returncode}); stderr tail: "
         + " | ".join(tail))
     return None
+
+
+def run_impl(impl):
+    return _run_subproc(
+        [sys.executable, "-u", "-m", "poms_tpu.bench.one_impl",
+         impl, str(DIM), str(N), str(DEGREE)], f"impl {impl}")
+
+
+def run_solve(n_el):
+    return _run_subproc(
+        [sys.executable, "-u", "-m", "poms_tpu.bench.one_solve",
+         str(n_el), str(DEGREE)], f"solve n_el={n_el}")
 
 
 def main():
@@ -70,6 +80,18 @@ def main():
             log(f"{r['name']}: {r['wall_s']*1e3:.2f} ms  "
                 f"{r['gbytes_per_s']:.1f} GB/s  {r['gnnz_per_s']:.2f} Gnnz/s"
                 f"  {r['pct_sol']:.1f}% SoL")
+    # headline metric 2 (BASELINE.json:2): V-cycle wall to 1e-10, 3D
+    solves = {}
+    for n_el in [int(s) for s in
+                 os.environ.get("POMS_BENCH_SOLVE", "64,128").split(",")
+                 if s]:
+        r = run_solve(n_el)
+        if r is not None:
+            solves[n_el] = r
+            log(f"{r['name']}: {r['iterations']} cycles x "
+                f"{r['per_iter_s']*1e3:.1f} ms = {r['wall_to_tol_s']:.3f} s"
+                f" (converged={r['converged']}, "
+                f"residual_mode={r['residual_mode']})")
     if not results:
         print(json.dumps({"metric": "spmv_3d_cubic_f32_gnnz_per_s",
                           "value": 0.0, "unit": "Gnnz/s",
@@ -82,12 +104,24 @@ def main():
     # (BASELINE.md: sol_GBps / 8B-per-nnz); >1 means beating what ANY
     # banded implementation could reach on this chip
     sol_gnnz = sol / 8.0
-    print(json.dumps({
+    doc = {
         "metric": "spmv_3d_cubic_f32_gnnz_per_s",
         "value": round(best["gnnz_per_s"], 2),
         "unit": "Gnnz/s",
         "vs_baseline": round(best["gnnz_per_s"] / sol_gnnz, 4),
-    }))
+        # secondary metrics, recorded explicitly so the pallas-vs-80%-bar
+        # status and the headline solve are visible in the artifact
+        # (VERDICT r2 weak #9 / ask #4)
+        "pallas_pct_sol": (round(results["pallas"]["pct_sol"], 1)
+                           if "pallas" in results else None),
+        "vcycle3d_to_1e10": {
+            str(n): {"wall_s": round(r["wall_to_tol_s"], 4),
+                     "iterations": r["iterations"],
+                     "per_iter_s": round(r["per_iter_s"], 5),
+                     "converged": r["converged"]}
+            for n, r in solves.items()},
+    }
+    print(json.dumps(doc))
     return 0
 
 

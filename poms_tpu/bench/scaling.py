@@ -124,11 +124,41 @@ def run_strong_scaling(dim: int = 2, n_el: int = 64, degree: int = 2,
     return points
 
 
+def write_json(points: List[ScalingPoint], kind: str, path: str) -> None:
+    """Persist a scaling run as a machine-checkable artifact (VERDICT r2
+    ask #5: 'bench/scaling.py prints, no artifact')."""
+    import json
+
+    import jax as _jax
+
+    dev = _jax.devices()[0]
+    doc = {
+        "kind": kind,
+        "platform": dev.platform,
+        "device_kind": getattr(dev, "device_kind", "?"),
+        "n_devices_visible": len(_jax.devices()),
+        "n_processes": _jax.process_count(),
+        "note": ("CPU virtual mesh validates wiring/collective counts, not "
+                 "ICI bandwidth" if dev.platform == "cpu" else ""),
+        "points": [{"mesh_shape": list(pt.mesh_shape),
+                    "n_devices": pt.n_devices,
+                    "n_el": list(pt.n_el),
+                    "seconds_per_cycle": pt.seconds_per_cycle,
+                    "efficiency": pt.efficiency} for pt in points],
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
 if __name__ == "__main__":
     import sys
 
     kind = sys.argv[1] if len(sys.argv) > 1 else "--weak"
+    out = sys.argv[2] if len(sys.argv) > 2 else None
     if kind == "--weak":
-        run_weak_scaling()
+        points = run_weak_scaling()
     else:
-        run_strong_scaling()
+        points = run_strong_scaling()
+    if out:
+        write_json(points, kind.lstrip("-"), out)
+        print(f"wrote {out}")

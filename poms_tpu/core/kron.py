@@ -39,16 +39,17 @@ __all__ = ["KroneckerSumOperator", "apply_band_1d_axis"]
 
 
 def apply_band_1d_axis(band1: jnp.ndarray, x: jnp.ndarray, axis: int,
-                       pad: int) -> jnp.ndarray:
+                       pad: int, periodic: bool = False) -> jnp.ndarray:
     """y[..., i, ...] = Σ_t band1[i, t] · x_pad[..., i + t, ...].
 
-    ``x`` is unpadded along ``axis``; zero (Dirichlet) padding is applied
-    here.  band1 has shape (n_axis, 2p+1).
+    ``x`` is unpadded along ``axis``; zero (Dirichlet) or wrapped
+    (periodic/circulant) padding is applied here.  band1 has shape
+    (n_axis, 2p+1).
     """
     n = x.shape[axis]
     nd = x.ndim
     pad_widths = [(pad, pad) if b == axis else (0, 0) for b in range(nd)]
-    x_pad = jnp.pad(x, pad_widths)
+    x_pad = jnp.pad(x, pad_widths, mode="wrap" if periodic else "constant")
     out = None
     for t in range(2 * pad + 1):
         sl = tuple(slice(t, t + n) if b == axis else slice(None)
@@ -107,6 +108,7 @@ class KroneckerSumOperator:
         """
         d = self.space.ndim
         pads = self.space.pads
+        periodic = self.space.periodic
         labels = self._band_labels()
         partials = {r: x_int for r in range(len(self.terms))}
         hist = {r: () for r in range(len(self.terms))}
@@ -116,7 +118,7 @@ class KroneckerSumOperator:
                 key = hist[r] + (labels[a][r],)
                 if key not in cache:
                     cache[key] = apply_band_1d_axis(term[a], partials[r], a,
-                                                    pads[a])
+                                                    pads[a], periodic[a])
                 partials[r] = cache[key]
                 hist[r] = key
         out = None
@@ -125,8 +127,6 @@ class KroneckerSumOperator:
         return out
 
     def dot(self, v: StencilVector) -> StencilVector:
-        if any(self.space.periodic):
-            raise NotImplementedError("Kronecker apply: Dirichlet dims only")
         out = self._apply_interior(v.interior)
         return StencilVector.from_interior(self.space, out)
 
@@ -171,7 +171,8 @@ class KroneckerSumOperator:
         return self.to_stencil().toarray()
 
     def transpose(self) -> "KroneckerSumOperator":
-        """Aᵀ = Σ ⊗Bᵀ; 1D band transpose: Bt[i, k] = B[i+k-p, 2p-k]."""
+        """Aᵀ = Σ ⊗Bᵀ; 1D band transpose: Bt[i, k] = B[i+k-p, 2p-k]
+        (row index wrapped on periodic/circulant dims)."""
         new_terms = []
         for term in self.terms:
             nt = []
@@ -182,8 +183,11 @@ class KroneckerSumOperator:
                 Bt = np.zeros_like(Bh)
                 for k in range(2 * p + 1):
                     src_rows = np.arange(n) + (k - p)
-                    valid = (src_rows >= 0) & (src_rows < n)
-                    Bt[valid, k] = Bh[src_rows[valid], 2 * p - k]
+                    if self.space.periodic[a]:
+                        Bt[:, k] = Bh[src_rows % n, 2 * p - k]
+                    else:
+                        valid = (src_rows >= 0) & (src_rows < n)
+                        Bt[valid, k] = Bh[src_rows[valid], 2 * p - k]
                 nt.append(jnp.asarray(Bt, B.dtype))
             new_terms.append(nt)
         return KroneckerSumOperator(self.space, new_terms)

@@ -116,13 +116,31 @@ def _coarse_bands_periodic(bands_1d, P1s):
     return out
 
 
-def build_periodic_hierarchy(problem: PeriodicProblem, num_levels: int):
+def _kron_periodic(bands_1d, shift, space):
+    """σ·⊗M + Σ_a ⊗(K_a slot a) as a KroneckerSumOperator (σ folded into
+    the first M factor of the shift term; M bands shared across terms so
+    the apply reuses partial products)."""
+    from poms_tpu.core.kron import KroneckerSumOperator
+
+    d = len(bands_1d)
+    Ks = [jnp.asarray(b[0], space.dtype) for b in bands_1d]
+    Ms = [jnp.asarray(b[1], space.dtype) for b in bands_1d]
+    shift_term = [shift * Ms[0]] + [Ms[b] for b in range(1, d)]
+    terms = [shift_term] + [[Ks[b] if b == a else Ms[b] for b in range(d)]
+                            for a in range(d)]
+    return KroneckerSumOperator(space, terms)
+
+
+def build_periodic_hierarchy(problem: PeriodicProblem, num_levels: int,
+                             operator: str = "banded"):
     """Levels finest→coarsest for the periodic shifted-Laplace problem."""
     p = problem.degree
     d = problem.dim
     n_el = problem.n_el
     bands_1d = problem.bands_1d
     A = problem.A
+    if operator == "kron":
+        A = _kron_periodic(bands_1d, problem.shift, problem.space)
     levels = []
     for lev in range(num_levels - 1):
         if any(ne % 2 or ne // 2 <= 2 * p for ne in n_el):
@@ -135,8 +153,12 @@ def build_periodic_hierarchy(problem: PeriodicProblem, num_levels: int):
         bands_1d = _coarse_bands_periodic(bands_1d, P1s)
         coarse_space = StencilVectorSpace(npts=n_el_c, pads=(p,) * d,
                                           periodic=True, dtype=A.space.dtype)
-        A_c = StencilMatrix.from_band(
-            coarse_space, _band_from_1d(bands_1d, problem.shift, coarse_space))
+        if operator == "kron":
+            A_c = _kron_periodic(bands_1d, problem.shift, coarse_space)
+        else:
+            A_c = StencilMatrix.from_band(
+                coarse_space,
+                _band_from_1d(bands_1d, problem.shift, coarse_space))
         levels.append(Level(A=A, restrict=restrict, prolong=prolong,
                             chol=None))
         A, n_el = A_c, n_el_c

@@ -103,14 +103,16 @@ def dw_neg(xh, xl):
     return -xh, -xl
 
 
-def _apply_band_1d_axis_df(b1h, b1l, xh, xl, axis: int, pad: int):
+def _apply_band_1d_axis_df(b1h, b1l, xh, xl, axis: int, pad: int,
+                           periodic: bool = False):
     """Double-word twin of core/kron.py::apply_band_1d_axis:
     y[..., i, ...] = Σ_t band1[i, t] · x_pad[..., i + t, ...]."""
     n = xh.shape[axis]
     nd = xh.ndim
     pw = [(pad, pad) if b == axis else (0, 0) for b in range(nd)]
-    xph = jnp.pad(xh, pw)
-    xpl = jnp.pad(xl, pw)
+    mode = "wrap" if periodic else "constant"
+    xph = jnp.pad(xh, pw, mode=mode)
+    xpl = jnp.pad(xl, pw, mode=mode)
     oh = ol = None
     for t in range(2 * pad + 1):
         sl = tuple(slice(t, t + n) if b == axis else slice(None)
@@ -128,7 +130,8 @@ def _apply_band_1d_axis_df(b1h, b1l, xh, xl, axis: int, pad: int):
 
 
 def residual_kron_df(terms_df: Sequence[Sequence[Tuple]], bh, bl, xh, xl,
-                     pads, labels=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     pads, labels=None,
+                     periodic=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """r = b − (Σ_r ⊗_a B_r^(a))·x in double-word f32.
 
     ``terms_df``: per term, per axis, (band_hi, band_lo) f32 pairs of shape
@@ -166,8 +169,9 @@ def residual_kron_df(terms_df: Sequence[Sequence[Tuple]], bh, bl, xh, xl,
             key = hist[r] + (labels[a][r],)
             if key not in cache:
                 ph, plo = partials[r]
-                cache[key] = _apply_band_1d_axis_df(term[a][0], term[a][1],
-                                                    ph, plo, a, pads[a])
+                cache[key] = _apply_band_1d_axis_df(
+                    term[a][0], term[a][1], ph, plo, a, pads[a],
+                    periodic[a] if periodic is not None else False)
             partials[r] = cache[key]
             hist[r] = key
     axh = axl = None

@@ -34,15 +34,18 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from poms_tpu.core.vector import StencilVector
-from poms_tpu.mg.cycles import CycleConfig, cycle
+from poms_tpu.mg.cycles import CycleConfig, cycle, fmg
 from poms_tpu.mg.hierarchy import build_hierarchy
 from poms_tpu.mg.solver import SolveResult
-from poms_tpu.models.bspline import prolongation_interior_1d
+from poms_tpu.models.bspline import (prolongation_interior_1d,
+                                     prolongation_periodic_1d)
 from poms_tpu.models.poisson import PoissonProblem
 from poms_tpu.ops.transfer import bands_from_dense
 from poms_tpu.ops import dispatch as _ops
 from poms_tpu.parallel.halo import (HaloSpec, dist_norm2, dist_spmv,
                                     local_starts, pad_and_exchange)
+from poms_tpu.parallel.kron import (dist_kron_apply, dist_kron_diag,
+                                    pad_band_1d_identity)
 from poms_tpu.parallel.transfers import (DistTransfer1D, build_dist_transfer,
                                          dist_apply_transfer)
 
@@ -74,23 +77,29 @@ def _pad_band_identity(band_t: np.ndarray, npts, N, pads) -> np.ndarray:
 class _DistLevel:
     """Static + array data for one distributed level (host-side setup)."""
 
-    def __init__(self, band_pad, spec, N, npts, restrict, prolong):
-        self.band_pad = band_pad      # offset-major (band..., N...) with identity padding
+    def __init__(self, op_arrays, spec, N, npts, restrict, prolong,
+                 labels=None):
+        # ``op_arrays``: operator data flowing through shard_map —
+        #   banded: offset-major band (win..., N...) with identity padding
+        #   kron:   tuple per axis of tuple of distinct padded 1D bands
+        #           (replicated; ``labels``[a][r] is the static sharing map)
+        self.op_arrays = op_arrays
         self.spec = spec              # HaloSpec (pads = stencil pads)
         self.N = N
         self.npts = npts
         self.restrict = restrict      # tuple[DistTransfer1D] | None
         self.prolong = prolong        # tuple[DistTransfer1D] | None (from l+1)
+        self.labels = labels          # kron only: static sharing structure
 
 
 class DistributedMG:
     """Multilevel sharded multigrid solver (semantics ≡ MultigridSolver)."""
 
-    def __init__(self, problem: PoissonProblem, num_levels: int,
+    def __init__(self, problem, num_levels: int,
                  mesh_shape: Tuple[int, ...],
                  cfg: CycleConfig = CycleConfig(), devices=None,
-                 dist_levels: int | str = "auto", overlap: bool = False,
-                 mixed: bool = False):
+                 dist_levels: int | str = "auto", overlap: bool = True,
+                 mixed: bool = False, operator: str = "banded"):
         # ``overlap``: emit halo ppermutes independent of the interior SpMV
         # so XLA can overlap communication with compute (SURVEY.md §7.1.7);
         # results are equal to the non-overlapped path to f64 roundoff.
@@ -113,6 +122,8 @@ class DistributedMG:
             raise ValueError(
                 f"smoother {cfg.smoother.kind!r} is not distributed "
                 "(gs_lex is sequential — SURVEY.md §7.2.2)")
+        if operator not in ("banded", "kron"):
+            raise ValueError(f"operator={operator!r}")
         from dataclasses import replace as _dc_replace
 
         from poms_tpu.mg.smoother import resolve_omega
@@ -121,7 +132,16 @@ class DistributedMG:
         p = problem.degree
         mesh_shape = tuple(mesh_shape) + (1,) * (d - len(mesh_shape))
         self.problem = problem
-        self.levels = build_hierarchy(problem, num_levels)
+        self.operator = operator
+        periodic_problem = hasattr(problem, "shift")   # PeriodicProblem
+        if periodic_problem:
+            from poms_tpu.models.periodic import build_periodic_hierarchy
+
+            self.levels = build_periodic_hierarchy(problem, num_levels,
+                                                   operator=operator)
+        else:
+            self.levels = build_hierarchy(problem, num_levels,
+                                          operator=operator)
         cfg = _dc_replace(cfg, smoother=resolve_omega(cfg.smoother,
                                                       self.levels[0].A))
         self.cfg = cfg
@@ -178,6 +198,20 @@ class DistributedMG:
             Ns.append(tuple(b * (1 << (self.L_dist - 1 - l))
                             for b in base_N))
 
+        # periodic dims tolerate NO grid padding: the wrap neighbor of the
+        # last interior point must be the first interior point, and padded
+        # identity rows would sit in between (VERDICT r2 missing #7 guard)
+        for a in range(d):
+            if problem.space.periodic[a]:
+                bad = [(l, Ns[l][a], npts_l[l][a]) for l in range(self.L_dist)
+                       if Ns[l][a] != npts_l[l][a]]
+                if bad:
+                    raise ValueError(
+                        f"periodic dim {a}: grid sizes {bad} need padding to "
+                        f"tile mesh axis {mesh_shape[a]}; choose a mesh that "
+                        f"divides every distributed level's npts (or fewer "
+                        f"dist_levels)")
+
         # ---- build distributed levels ----------------------------------
         self.dist: List[_DistLevel] = []
         for l in range(self.L_dist):
@@ -187,13 +221,32 @@ class DistributedMG:
             n_loc = tuple(N[a] // mesh_shape[a] for a in range(d))
             spec = HaloSpec.build(self.names, mesh_shape, n_loc, sp.pads,
                                   sp.periodic)
-            band_pad = jnp.asarray(
-                _pad_band_identity(np.asarray(lev.A.band_t), sp.npts, N,
-                                   sp.pads), dtype)
+            labels = None
+            if operator == "kron":
+                labels = lev.A._band_labels()
+                by_axis = []
+                for a in range(d):
+                    n_lab = max(labels[a]) + 1
+                    distinct = [None] * n_lab
+                    for r, term in enumerate(lev.A.terms):
+                        distinct[labels[a][r]] = term[a]
+                    by_axis.append(tuple(
+                        jnp.asarray(pad_band_1d_identity(np.asarray(B),
+                                                         N[a]), dtype)
+                        for B in distinct))
+                op_arrays = tuple(by_axis)
+            else:
+                op_arrays = jnp.asarray(
+                    _pad_band_identity(np.asarray(lev.A.band_t), sp.npts, N,
+                                       sp.pads), dtype)
             restrict = prolong = None
             if l + 1 < num_levels:
-                P1s = [prolongation_interior_1d(n_el_l[l + 1][a], p)
-                       for a in range(d)]
+                if periodic_problem:
+                    P1s = [prolongation_periodic_1d(n_el_l[l + 1][a], p)
+                           for a in range(d)]
+                else:
+                    P1s = [prolongation_interior_1d(n_el_l[l + 1][a], p)
+                           for a in range(d)]
                 if l + 1 < self.L_dist:
                     N_c = Ns[l + 1]
                 else:
@@ -203,19 +256,23 @@ class DistributedMG:
                 if N_c is not None:
                     restrict = tuple(
                         build_dist_transfer(P1s[a].T, N_c[a], N[a],
-                                            mesh_shape[a], dtype)
+                                            mesh_shape[a], dtype,
+                                            periodic=sp.periodic[a])
                         for a in range(d))
                     prolong = tuple(
                         build_dist_transfer(P1s[a], N[a], N_c[a],
-                                            mesh_shape[a], dtype)
+                                            mesh_shape[a], dtype,
+                                            periodic=sp.periodic[a])
                         for a in range(d))
-            self.dist.append(_DistLevel(band_pad, spec, N, sp.npts,
-                                        restrict, prolong))
+            self.dist.append(_DistLevel(op_arrays, spec, N, sp.npts,
+                                        restrict, prolong, labels))
 
         self.npts = npts_l[0]
         self.N = Ns[0]
         self._grid_spec = P(*self.names)
-        self._step = jax.jit(self._build_step())
+        step, fmg_step = self._build_step()
+        self._step = jax.jit(step)
+        self._fmg = jax.jit(fmg_step) if fmg_step is not None else None
 
     # ------------------------------------------------------------------
     def _pad_global(self, arr_int) -> jnp.ndarray:
@@ -244,38 +301,63 @@ class DistributedMG:
         cheb_frac = cfg.smoother.cheb_fraction
         cheb_deg = cfg.smoother.cheb_degree
         overlap = self.overlap
+        operator = self.operator
+        labels_l = [lv.labels for lv in self.dist]
 
-        def smooth(lev_i, band_loc, x_loc, b_loc):
+        def apply_A(lev_i, op_loc, x_loc):
             spec = dist_meta[lev_i].spec
-            diag_loc = band_loc[tuple(spec.pads)]
+            if operator == "kron":
+                return dist_kron_apply(op_loc, labels_l[lev_i], x_loc, spec)
+            return dist_spmv(op_loc, x_loc, spec, overlap)
+
+        def diag_of(lev_i, op_loc):
+            spec = dist_meta[lev_i].spec
+            if operator == "kron":
+                return dist_kron_diag(op_loc, labels_l[lev_i], spec)
+            return op_loc[tuple(spec.pads)]
+
+        def smooth(lev_i, op_loc, x_loc, b_loc):
+            spec = dist_meta[lev_i].spec
+            diag_loc = diag_of(lev_i, op_loc)
             if kind == "jacobi":
-                Ax = dist_spmv(band_loc, x_loc, spec, overlap)
+                Ax = apply_A(lev_i, op_loc, x_loc)
                 return x_loc + omega * (b_loc - Ax) / diag_loc
             if kind == "chebyshev":
                 lam_max = lams[lev_i]
                 lam_min = lam_max / cheb_frac
                 theta = 0.5 * (lam_max + lam_min)
                 delta = 0.5 * (lam_max - lam_min)
-                z = (b_loc - dist_spmv(band_loc, x_loc, spec,
-                                       overlap)) / diag_loc
+                z = (b_loc - apply_A(lev_i, op_loc, x_loc)) / diag_loc
                 dd = z / theta
                 x_loc = x_loc + dd
                 sigma = theta / delta
                 rho = 1.0 / sigma
                 for _ in range(cheb_deg - 1):
-                    z = (b_loc - dist_spmv(band_loc, x_loc, spec,
-                                           overlap)) / diag_loc
+                    z = (b_loc - apply_A(lev_i, op_loc, x_loc)) / diag_loc
                     rho_new = 1.0 / (2.0 * sigma - rho)
                     dd = rho_new * rho * dd + (2.0 * rho_new / delta) * z
                     x_loc = x_loc + dd
                     rho = rho_new
                 return x_loc
-            # RB-GS: fused per-color kernel (Pallas on TPU) with GLOBAL
-            # parity from the block offsets (VERDICT.md next-round #2)
+            # RB-GS with GLOBAL parity from the block offsets
             starts = local_starts(spec)
+            if operator == "kron":
+                # generic masked formulation — mirrors the serial kron
+                # branch of mg/smoother.py::rbgs_step exactly
+                from poms_tpu.mg.smoother import color_mask
+
+                for color in (0, 1):
+                    s = (apply_A(lev_i, op_loc, x_loc)
+                         - diag_loc * x_loc)
+                    gs = (b_loc - s) / diag_loc
+                    mask = color_mask(spec.n_loc, color, starts)
+                    x_loc = jnp.where(
+                        mask, (1.0 - omega) * x_loc + omega * gs, x_loc)
+                return x_loc
+            # banded: fused per-color kernel (Pallas on TPU)
             for color in (0, 1):
                 x_pad = pad_and_exchange(x_loc, spec)
-                x_loc = _ops.rbgs_color(band_loc, x_pad, b_loc, omega,
+                x_loc = _ops.rbgs_color(op_loc, x_pad, b_loc, omega,
                                         color, spec.n_loc, spec.pads,
                                         starts)
             return x_loc
@@ -302,7 +384,7 @@ class DistributedMG:
             band_loc = bands[l]
             for _ in range(cfg.nu1):
                 x_loc = smooth(l, band_loc, x_loc, b_loc)
-            r_loc = b_loc - dist_spmv(band_loc, x_loc, meta.spec, overlap)
+            r_loc = b_loc - apply_A(l, band_loc, x_loc)
             if l + 1 < L_dist:
                 restr, prol = transfers[l]
                 b_c = dist_apply_transfer(restr, r_loc, meta.spec.axes,
@@ -339,8 +421,41 @@ class DistributedMG:
             x_loc = vcycle_local(0, x_loc, b_loc, bands, transfers, tail,
                                  tail_tr)
             spec0 = dist_meta[0].spec
-            r_loc = b_loc - dist_spmv(bands[0], x_loc, spec0)
+            r_loc = b_loc - apply_A(0, bands[0], x_loc)
             rn = dist_norm2(r_loc, spec0)
+            return x_loc, rn
+
+        def fmg_body(b_loc, bands, transfers, tail, tail_tr):
+            # nested iteration on the sharded hierarchy (VERDICT r2 ask #8):
+            # restrict b down the distributed range, agglomerate, serial
+            # FMG on the tail, prolong up with one cycle per level
+            from poms_tpu.ops.transfer import apply_transfer
+
+            meta_last = dist_meta[L_dist - 1]
+            bs = [b_loc]
+            for l in range(L_dist - 1):
+                restr, _ = transfers[l]
+                bs.append(dist_apply_transfer(restr, bs[-1],
+                                              dist_meta[l].spec.axes, names))
+            t_restrict, t_prolong = tail_tr
+            r_int = gather_full(bs[-1], meta_last.N, meta_last.npts)
+            b_tail_int = apply_transfer(t_restrict, r_int)
+            sp_t = tail[0].A.space
+            b_tail = StencilVector.from_interior(sp_t, b_tail_int)
+            tail_lams = lams[L_dist:] if lams is not None else None
+            x_t = fmg(tail, b_tail, cfg, lams=tail_lams)
+            corr_int = apply_transfer(t_prolong, x_t.interior)
+            x_loc = scatter_local(corr_int, meta_last.N,
+                                  meta_last.spec.n_loc)
+            for l in range(L_dist - 1, -1, -1):
+                if l < L_dist - 1:
+                    _, prol = transfers[l]
+                    x_loc = dist_apply_transfer(
+                        prol, x_loc, dist_meta[l + 1].spec.axes, names)
+                x_loc = vcycle_local(l, x_loc, bs[l], bands, transfers,
+                                     tail, tail_tr)
+            spec0 = dist_meta[0].spec
+            rn = dist_norm2(b_loc - apply_A(0, bands[0], x_loc), spec0)
             return x_loc, rn
 
         def body_mixed(x_loc, b_loc, bands, bands_lo, transfers, tail,
@@ -349,21 +464,25 @@ class DistributedMG:
             # f32 cycle on the residual scaled to O(1) — step-for-step
             # identical to mg/mixed.py::MixedPrecisionMG
             spec0 = dist_meta[0].spec
-            r_loc = b_loc - dist_spmv(bands[0], x_loc, spec0, overlap)
+            r_loc = b_loc - apply_A(0, bands[0], x_loc)
             scale = dist_norm2(r_loc, spec0)
             safe = jnp.where(scale > 0, scale, 1.0)
             r_lo = (r_loc / safe).astype(jnp.float32)
             e_lo = vcycle_local(0, jnp.zeros_like(r_lo), r_lo, bands_lo,
                                 transfers, tail, tail_tr)
             x_loc = x_loc + e_lo.astype(x_loc.dtype) * safe
-            r2 = b_loc - dist_spmv(bands[0], x_loc, spec0, overlap)
+            r2 = b_loc - apply_A(0, bands[0], x_loc)
             rn = dist_norm2(r2, spec0)
             return x_loc, rn
 
         rep = P()
-        # offset-major bands: win dims (unsharded) lead, grid dims trail
-        band_specs = [P(*((None,) * d + names)) for _ in range(L_dist)]
-        bands = [lv.band_pad for lv in self.dist]
+        if operator == "kron":
+            # per-axis 1D bands are tiny — replicated (prefix specs)
+            band_specs = [rep for _ in range(L_dist)]
+        else:
+            # offset-major bands: win dims (unsharded) lead, grid dims trail
+            band_specs = [P(*((None,) * d + names)) for _ in range(L_dist)]
+        bands = [lv.op_arrays for lv in self.dist]
         transfers = [(self.dist[l].restrict, self.dist[l].prolong)
                      for l in range(L_dist - 1)]
         tail_tr = (tail_restrict, tail_prolong)
@@ -377,7 +496,7 @@ class DistributedMG:
                     return leaf.astype(jnp.float32)
                 return leaf
 
-            bands_lo = [b.astype(jnp.float32) for b in bands]
+            bands_lo = jax.tree.map(cast32, bands)
             transfers = jax.tree.map(cast32, transfers)
             serial_tail = _cast_levels(serial_tail, jnp.float32)
             tail_tr = jax.tree.map(cast32, tail_tr)
@@ -394,7 +513,7 @@ class DistributedMG:
                 return smap(x_glob, b_glob, bands, bands_lo, transfers,
                             serial_tail, tail_tr)
 
-            return step
+            return step, None
 
         smap = jax.shard_map(
             body, mesh=self.mesh,
@@ -409,19 +528,43 @@ class DistributedMG:
             return smap(x_glob, b_glob, bands, transfers, serial_tail,
                         tail_tr)
 
-        return step
+        smap_fmg = jax.shard_map(
+            fmg_body, mesh=self.mesh,
+            in_specs=(self._grid_spec,
+                      band_specs,
+                      jax.tree.map(lambda _: rep, transfers),
+                      jax.tree.map(lambda _: rep, serial_tail),
+                      jax.tree.map(lambda _: rep, tail_tr)),
+            out_specs=(self._grid_spec, rep))
+
+        def fmg_step(b_glob):
+            return smap_fmg(b_glob, bands, transfers, serial_tail, tail_tr)
+
+        return step, fmg_step
 
     # ------------------------------------------------------------------
     def step(self, x_glob: jnp.ndarray, b_glob: jnp.ndarray):
         """One cycle on padded global arrays; returns (x, ‖r‖)."""
         return self._step(x_glob, b_glob)
 
+    def fmg_step(self, b_glob: jnp.ndarray):
+        """One FMG (nested-iteration) pass on the padded global RHS;
+        returns (x, ‖r‖) — typically used as the solve's initial guess."""
+        if self._fmg is None:
+            raise ValueError("FMG is not built for mixed=True (the mixed "
+                             "scheme corrects from x=0 each outer step)")
+        return self._fmg(b_glob)
+
     def solve(self, b: StencilVector = None, tol: float = 1e-10,
-              maxiter: int = 50) -> SolveResult:
+              maxiter: int = 50, use_fmg: bool = False) -> SolveResult:
         b = b if b is not None else self.problem.b
         b_glob = self._pad_global(b.interior)
-        x_glob = jnp.zeros_like(b_glob)
-        residuals = [float(jnp.linalg.norm(b.interior))]
+        if use_fmg:
+            x_glob, rn0 = self.fmg_step(b_glob)
+            residuals = [float(rn0)]
+        else:
+            x_glob = jnp.zeros_like(b_glob)
+            residuals = [float(jnp.linalg.norm(b.interior))]
         wall = []
         it, converged = 0, residuals[-1] <= tol
         while not converged and it < maxiter:

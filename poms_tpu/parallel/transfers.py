@@ -54,13 +54,47 @@ class DistTransfer1D:
 
 
 def build_dist_transfer(P_like: np.ndarray, n_out_pad: int, n_src_pad: int,
-                        m: int, dtype) -> DistTransfer1D:
+                        m: int, dtype,
+                        periodic: bool = False) -> DistTransfer1D:
     """From a dense (n_out, n_src) operator to the distributed band form.
 
     ``n_out_pad``/``n_src_pad``: padded global sizes (multiples of mesh m).
     Rows/cols beyond the true sizes get zero weights.
+
+    ``periodic``: circulant operators have corner rows whose nonzeros WRAP
+    (cols near both 0 and n−1).  Those columns are unwrapped to a
+    contiguous window around each row's natural center (col ≈ i·n_src/
+    n_out), so ``c0`` may be negative or exceed n_src−1; the wrapped
+    source values land in the width-W ghost slabs the apply's periodic
+    ppermute fills (periodic dims are never grid-padded —
+    parallel/dist.py's guard).
     """
     n_out, n_src = P_like.shape
+    if periodic:
+        if n_out_pad != n_out or n_src_pad != n_src:
+            raise ValueError("periodic transfers cannot be grid-padded")
+        ratio = n_src / n_out
+        cols = np.arange(n_src)[None, :]
+        center = np.rint(np.arange(n_out) * ratio).astype(np.int64)[:, None]
+        # representative of each column within [center - n/2, center + n/2)
+        rep = (cols - center + n_src // 2) % n_src + center - n_src // 2
+        nz = np.abs(P_like) > 0
+        first = np.where(nz, rep, np.iinfo(np.int64).max).min(1)
+        last = np.where(nz, rep, np.iinfo(np.int64).min).max(1)
+        first = np.where(nz.any(1), first, 0)
+        last = np.where(nz.any(1), last, 0)
+        W = max(1, int((last - first + 1).max()))
+        c0 = first.astype(np.int64)
+        w = np.zeros((n_out, W))
+        rows = np.arange(n_out)
+        for t in range(W):
+            src = (c0 + t) % n_src
+            val = P_like[rows, src]
+            val = np.where(rep[rows, src] == c0 + t, val, 0.0)
+            w[:, t] = val
+        return DistTransfer1D(
+            w=jnp.asarray(w, dtype), c0=jnp.asarray(c0),
+            n_out_loc=n_out // m, n_src_loc=n_src // m, halo=W)
     nz = np.abs(P_like) > 0
     first = np.where(nz.any(1), nz.argmax(1), 0)
     last = np.where(nz.any(1), n_src - 1 - nz[:, ::-1].argmax(1), 0)
