@@ -30,6 +30,24 @@ __all__ = ["split_f64", "merge_f64", "two_sum", "two_prod", "dw_add",
 _SPLIT = jnp.float32(4097.0)  # Dekker split constant for f32: 2^12 + 1
 
 
+# COMPILER-SAFETY DESIGN NOTE (measured failure this round).  Under jit,
+# XLA:CPU's fusion emitter duplicates cheap producers into consumer
+# fusions and LLVM then CONTRACTS mul+add/sub into fma.  For classic
+# Dekker two_prod this is fatal: a consumer computing ``s − a·b`` gets
+# fma(−a, b, s), which subtracts the EXACT product instead of the rounded
+# one — the residue is double-counted (measured: zl = 2e + t, a hard
+# ~1e-7·‖r‖ floor on the twofloat residual, while the same code was exact
+# eagerly).  jax.lax.optimization_barrier does NOT survive XLA:CPU's
+# pipeline (stripped before codegen — verified in the optimized HLO), so
+# barriers cannot protect an EFT here.  The robust fix used below: every
+# multiply in the toolbox is an EXACT product (both operands split to
+# ≤12 significand bits, or an error term whose rounding is harmless), so
+# any fma contraction is value-preserving by construction, and sums are
+# protected only by the (float-semantics-preserving) HLO pipeline, which
+# does not reassociate.  Pinned by tests/test_twofloat.py::
+# test_eft_exact_under_jit_with_broadcast.
+
+
 def split_f64(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Split an f64 array into a double-word f32 pair.
 
@@ -49,7 +67,15 @@ def merge_f64(hi, lo):
 
 
 def two_sum(a, b):
-    """Knuth two_sum: s + e == a + b exactly (6 flops, branch-free)."""
+    """Knuth two_sum: s + e == a + b exactly (6 flops, branch-free).
+
+    Barrier discipline (see _ob): the compiler rewrites
+    ``(a + b) − a → b`` and ``x − (x − y) → y`` — valid algebra, fatal to
+    an EFT.  Each subtraction's LEFT operand is made opaque BEFORE the
+    subtraction is built, so no rewritable pattern ever exists: wrapping
+    the result after the fact is too late (the inner expression has
+    already been simplified).
+    """
     s = a + b
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
@@ -63,17 +89,46 @@ def _fast_two_sum(a, b):
     return s, e
 
 
+def _split_bits(a):
+    """Exact 12|12-bit split of f32 via mantissa masking.
+
+    Replaces Dekker's arithmetic split ``ca − (ca − a)`` (which XLA's
+    algebraic simplifier can rewrite to ``a``, destroying the split — see
+    _ob) with bit operations no float-algebra pass can touch: ah keeps the
+    top 12 significand bits, al = a − ah is exact (same-exponent subtract)
+    and carries the remaining ≤12 bits, so all cross products are exact in
+    f32's 24-bit significand — the same invariant Dekker's split provides.
+    """
+    import jax
+
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    ah = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFFF000),
+                                      jnp.float32)
+    return ah, a - ah
+
+
 def two_prod(a, b):
-    """Dekker two_prod: p + e == a·b exactly (f32, no FMA required)."""
-    p = a * b
-    ca = _SPLIT * a
-    ah = ca - (ca - a)
-    al = a - ah
-    cb = _SPLIT * b
-    bh = cb - (cb - b)
-    bl = b - bh
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, e
+    """two_prod: p + e == a·b exactly — contraction-immune form.
+
+    Never materializes the full-width product ``a·b`` (whose recompute +
+    fma-contraction is the failure mode in the module note).  Instead the
+    four EXACT partial products of the 12|12-bit splits are summed with an
+    error-free two_sum cascade; every multiply in the graph is exactly
+    representable, so fma contraction anywhere is value-preserving.
+    ``p`` may differ from rnd(a·b) by one ulp (double rounding in the
+    cascade); (p, e) is still an exact decomposition of a·b, which is the
+    invariant every consumer needs.
+    """
+    ah, al = _split_bits(a)
+    bh, bl = _split_bits(b)
+    hh = ah * bh        # all four: ≤24 significand bits — exact in f32
+    hl = ah * bl
+    lh = al * bh
+    ll = al * bl
+    s1, e1 = two_sum(hl, lh)
+    s2, e2 = two_sum(hh, s1)
+    s3, e3 = two_sum(s2, ll)
+    return _fast_two_sum(s3, (e1 + e2) + e3)
 
 
 def dw_add(xh, xl, yh, yl):

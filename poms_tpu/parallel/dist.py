@@ -44,7 +44,8 @@ from poms_tpu.ops.transfer import bands_from_dense
 from poms_tpu.ops import dispatch as _ops
 from poms_tpu.parallel.halo import (HaloSpec, dist_norm2, dist_spmv,
                                     local_starts, pad_and_exchange)
-from poms_tpu.parallel.kron import (dist_kron_apply, dist_kron_diag,
+from poms_tpu.parallel.kron import (dist_dw_norm2, dist_kron_apply,
+                                    dist_kron_diag, dist_kron_residual_df,
                                     pad_band_1d_identity)
 from poms_tpu.parallel.transfers import (DistTransfer1D, build_dist_transfer,
                                          dist_apply_transfer)
@@ -99,7 +100,8 @@ class DistributedMG:
                  mesh_shape: Tuple[int, ...],
                  cfg: CycleConfig = CycleConfig(), devices=None,
                  dist_levels: int | str = "auto", overlap: bool = True,
-                 mixed: bool = False, operator: str = "banded"):
+                 mixed: bool = False, operator: str = "banded",
+                 mixed_residual: str = "auto"):
         # ``overlap``: emit halo ppermutes independent of the interior SpMV
         # so XLA can overlap communication with compute (SURVEY.md §7.1.7);
         # results are equal to the non-overlapped path to f64 roundoff.
@@ -118,6 +120,16 @@ class DistributedMG:
             raise ValueError(
                 "mixed=True needs f64 buffers; got "
                 f"{problem.b.interior.dtype} (is jax_enable_x64 set?)")
+        if mixed_residual == "auto":
+            mixed_residual = ("twofloat" if (mixed and operator == "kron")
+                              else "f64")
+        if mixed_residual not in ("f64", "twofloat"):
+            raise ValueError(f"mixed_residual={mixed_residual!r}")
+        if mixed_residual == "twofloat" and operator != "kron":
+            raise ValueError("mixed_residual='twofloat' needs the kron "
+                             "operator (the dw residual exploits its "
+                             "structure)")
+        self.mixed_residual = mixed_residual if mixed else None
         if cfg.smoother.kind not in ("jacobi", "rbgs", "chebyshev"):
             raise ValueError(
                 f"smoother {cfg.smoother.kind!r} is not distributed "
@@ -266,6 +278,33 @@ class DistributedMG:
                         for a in range(d))
             self.dist.append(_DistLevel(op_arrays, spec, N, sp.npts,
                                         restrict, prolong, labels))
+
+        # double-word split of the level-0 kron bands for the twofloat
+        # sharded residual (hi padded with identity rows, lo with zeros —
+        # identity is exactly representable so the dw invariant holds)
+        self._bands_df0 = None
+        if mixed and self.mixed_residual == "twofloat":
+            from poms_tpu.ops.twofloat import split_f64
+
+            A0 = self.levels[0].A
+            labels0 = self.dist[0].labels
+            N0 = self.dist[0].N
+            by_axis_df = []
+            for a in range(d):
+                distinct = [None] * (max(labels0[a]) + 1)
+                for r, term in enumerate(A0.terms):
+                    distinct[labels0[a][r]] = term[a]
+                row = []
+                for B in distinct:
+                    hi, lo = split_f64(jnp.asarray(B, jnp.float64))
+                    hi = jnp.asarray(
+                        pad_band_1d_identity(np.asarray(hi), N0[a]),
+                        jnp.float32)
+                    lo = jnp.pad(jnp.asarray(lo, jnp.float32),
+                                 ((0, N0[a] - B.shape[0]), (0, 0)))
+                    row.append((hi, lo))
+                by_axis_df.append(tuple(row))
+            self._bands_df0 = tuple(by_axis_df)
 
         self.npts = npts_l[0]
         self.N = Ns[0]
@@ -500,6 +539,50 @@ class DistributedMG:
             transfers = jax.tree.map(cast32, transfers)
             serial_tail = _cast_levels(serial_tail, jnp.float32)
             tail_tr = jax.tree.map(cast32, tail_tr)
+
+            if self.mixed_residual == "twofloat":
+                from poms_tpu.ops.twofloat import dw_add, two_prod
+
+                bands_df0 = self._bands_df0
+                lab0 = labels_l[0]
+                spec0 = dist_meta[0].spec
+
+                def body_mixed_tf(xh, xl, bh, bl, bands_lo, bands_df0,
+                                  transfers, tail, tail_tr):
+                    # sharded defect correction carried entirely in
+                    # double-word f32: no f64 emulation in the loop
+                    rh, rl = dist_kron_residual_df(bands_df0, lab0, bh, bl,
+                                                   xh, xl, spec0)
+                    scale = dist_dw_norm2(rh, rl, spec0)
+                    safe32 = jnp.where(scale > 0, scale,
+                                       1.0).astype(jnp.float32)
+                    r_lo = rh / safe32
+                    e_lo = vcycle_local(0, jnp.zeros_like(r_lo), r_lo,
+                                        bands_lo, transfers, tail, tail_tr)
+                    ch, cl = two_prod(e_lo, safe32)     # exact e·safe
+                    xh, xl = dw_add(xh, xl, ch, cl)
+                    rh2, rl2 = dist_kron_residual_df(bands_df0, lab0, bh,
+                                                     bl, xh, xl, spec0)
+                    rn = dist_dw_norm2(rh2, rl2, spec0)
+                    return xh, xl, rn
+
+                smap = jax.shard_map(
+                    body_mixed_tf, mesh=self.mesh,
+                    in_specs=(self._grid_spec, self._grid_spec,
+                              self._grid_spec, self._grid_spec,
+                              band_specs, rep,
+                              jax.tree.map(lambda _: rep, transfers),
+                              jax.tree.map(lambda _: rep, serial_tail),
+                              jax.tree.map(lambda _: rep, tail_tr)),
+                    out_specs=(self._grid_spec, self._grid_spec, rep))
+
+                def step(xh_glob, xl_glob, bh_glob, bl_glob):
+                    return smap(xh_glob, xl_glob, bh_glob, bl_glob,
+                                bands_lo, bands_df0, transfers,
+                                serial_tail, tail_tr)
+
+                return step, None
+
             smap = jax.shard_map(
                 body_mixed, mesh=self.mesh,
                 in_specs=(self._grid_spec, self._grid_spec,
@@ -555,9 +638,38 @@ class DistributedMG:
                              "scheme corrects from x=0 each outer step)")
         return self._fmg(b_glob)
 
+    def _solve_twofloat(self, b, tol, maxiter) -> SolveResult:
+        from poms_tpu.ops.twofloat import merge_f64, split_f64
+
+        b_glob = self._pad_global(b.interior)
+        bh, bl = split_f64(b_glob)
+        xh = jnp.zeros_like(bh)
+        xl = jnp.zeros_like(bl)
+        residuals = [float(jnp.linalg.norm(b.interior))]
+        wall = []
+        it, converged = 0, residuals[-1] <= tol
+        while not converged and it < maxiter:
+            t0 = time.perf_counter()
+            xh, xl, rn = self._step(xh, xl, bh, bl)
+            rn = float(rn)
+            wall.append(time.perf_counter() - t0)
+            residuals.append(rn)
+            it += 1
+            converged = rn <= tol
+        x_glob = merge_f64(xh, xl)
+        x_int = np.asarray(x_glob)[tuple(slice(0, n) for n in self.npts)]
+        x = StencilVector.from_interior(self.problem.space, x_int)
+        return SolveResult(x=x, residuals=residuals, iterations=it,
+                           converged=converged, wall_times=wall)
+
     def solve(self, b: StencilVector = None, tol: float = 1e-10,
               maxiter: int = 50, use_fmg: bool = False) -> SolveResult:
         b = b if b is not None else self.problem.b
+        if self.mixed and self.mixed_residual == "twofloat":
+            if use_fmg:
+                raise ValueError("use_fmg is not available for the mixed "
+                                 "twofloat solve")
+            return self._solve_twofloat(b, tol, maxiter)
         b_glob = self._pad_global(b.interior)
         if use_fmg:
             x_glob, rn0 = self.fmg_step(b_glob)

@@ -34,7 +34,7 @@ import numpy as np
 from poms_tpu.parallel.halo import AxisSpec, HaloSpec, halo_exchange
 
 __all__ = ["pad_band_1d_identity", "dist_kron_apply", "dist_kron_diag",
-           "exchange_axis"]
+           "exchange_axis", "dist_kron_residual_df", "dist_dw_norm2"]
 
 
 def pad_band_1d_identity(B: np.ndarray, N: int) -> np.ndarray:
@@ -127,6 +127,101 @@ def dist_kron_apply(bands_by_axis: Sequence[Sequence[jnp.ndarray]],
     for r in range(n_terms):
         out = partials[r] if out is None else out + partials[r]
     return out
+
+
+def _axis_contract_df(band_df_glob, xph, xpl, a: int, ax: AxisSpec):
+    """Double-word twin of _axis_contract (both operands dw pairs)."""
+    from poms_tpu.ops.twofloat import dw_add, dw_mul
+
+    Bh_g, Bl_g = band_df_glob
+    nd = xph.ndim
+    n_loc = ax.n_loc
+    w = Bh_g.shape[1]
+    if ax.name is None:
+        Bh_loc, Bl_loc = Bh_g, Bl_g
+    else:
+        start = jax.lax.axis_index(ax.name) * n_loc
+        Bh_loc = jax.lax.dynamic_slice_in_dim(Bh_g, start, n_loc, 0)
+        Bl_loc = jax.lax.dynamic_slice_in_dim(Bl_g, start, n_loc, 0)
+    oh = ol = None
+    for t in range(w):
+        sl = tuple(slice(t, t + n_loc) if b == a else slice(None)
+                   for b in range(nd))
+        bshape = [1] * nd
+        bshape[a] = n_loc
+        th, tl = dw_mul(Bh_loc[:, t].reshape(bshape),
+                        Bl_loc[:, t].reshape(bshape), xph[sl], xpl[sl])
+        if oh is None:
+            oh, ol = th, tl
+        else:
+            oh, ol = dw_add(oh, ol, th, tl)
+    return oh, ol
+
+
+def dist_kron_residual_df(bands_df_by_axis, labels, bh, bl, xh, xl,
+                          spec: HaloSpec):
+    """r = b − A·x in double-word f32 on a local block inside shard_map —
+    the distributed twin of ops/twofloat.py::residual_kron_df (VERDICT r2
+    ask #3, distributed half): the sharded defect-correction outer loop
+    with NO f64 emulation.  Halo ghosts are exchanged separately for the
+    hi and lo words (ppermute is exact, so dw invariants survive).
+
+    ``bands_df_by_axis[a]``: tuple of (hi, lo) f32 pairs of the distinct
+    padded global 1D bands of axis a.
+    """
+    from poms_tpu.ops.twofloat import dw_add
+
+    d = xh.ndim
+    n_terms = len(labels[0])
+    partials = {r: (xh, xl) for r in range(n_terms)}
+    hist = {r: () for r in range(n_terms)}
+    for a in range(d - 1, -1, -1):
+        ax = spec.axes[a]
+        ex_cache = {}
+        cache = {}
+        for r in range(n_terms):
+            hkey = hist[r]
+            if hkey not in ex_cache:
+                ph, plo = partials[r]
+                ex_cache[hkey] = (exchange_axis(ph, a, ax),
+                                  exchange_axis(plo, a, ax))
+            key = hkey + (labels[a][r],)
+            if key not in cache:
+                xph, xpl = ex_cache[hkey]
+                cache[key] = _axis_contract_df(
+                    bands_df_by_axis[a][labels[a][r]], xph, xpl, a, ax)
+            partials[r] = cache[key]
+            hist[r] = key
+    axh = axl = None
+    for r in range(n_terms):
+        ph, plo = partials[r]
+        if axh is None:
+            axh, axl = ph, plo
+        else:
+            axh, axl = dw_add(axh, axl, ph, plo)
+    return dw_add(bh, bl, -axh, -axl)
+
+
+def dist_dw_norm2(rh, rl, spec: HaloSpec):
+    """Global ‖r‖₂ of a sharded double-word field: local dw pairwise-tree
+    sum of squares, then one scalar f64 psum (O(1) emulated work)."""
+    from poms_tpu.ops.twofloat import dw_add, dw_mul
+
+    fh = rh.reshape(-1)
+    fl = rl.reshape(-1)
+    sh, sl = dw_mul(fh, fl, fh, fl)
+    while sh.shape[0] > 1:
+        m = sh.shape[0]
+        half = (m + 1) // 2
+        pad = half * 2 - m
+        if pad:
+            sh = jnp.concatenate([sh, jnp.zeros((pad,), sh.dtype)])
+            sl = jnp.concatenate([sl, jnp.zeros((pad,), sl.dtype)])
+        sh, sl = dw_add(sh[0::2], sl[0::2], sh[1::2], sl[1::2])
+    local = sh[0].astype(jnp.float64) + sl[0].astype(jnp.float64)
+    names = spec.names
+    total = jax.lax.psum(local, names) if names else local
+    return jnp.sqrt(total)
 
 
 def dist_kron_diag(bands_by_axis, labels, spec: HaloSpec) -> jnp.ndarray:

@@ -199,8 +199,12 @@ def test_dist_mixed_matches_serial_mixed(smoother, omega, dim, n_el,
     cfg = CycleConfig(smoother=SmootherConfig(kind=smoother, omega=omega))
     serial = MixedPrecisionMG(prob, num_levels=levels, cfg=cfg)
     res_s = serial.solve(tol=1e-10, maxiter=80)
+    # overlap=False: the step-for-step history claim needs the same f32
+    # summation order as the serial path (the default overlap formulation
+    # is equivalent in f64 but reorders f32 ops; its own equivalence test
+    # is test_overlap_spmv_equivalence)
     dist = DistributedMG(prob, num_levels=levels, mesh_shape=mesh_shape,
-                         cfg=cfg, mixed=True)
+                         cfg=cfg, mixed=True, overlap=False)
     res_d = dist.solve(tol=1e-10, maxiter=80)
     assert res_s.converged and res_d.converged
     assert abs(res_d.iterations - res_s.iterations) <= 1

@@ -124,6 +124,35 @@ def test_dist_kron_mixed_solve():
     assert float(r.norm()) <= 2e-10
 
 
+def test_dist_kron_mixed_twofloat():
+    """Sharded twofloat defect correction (dw-f32 residual, psum'd dw
+    norm) reaches 1e-10 and tracks the f64-residual dist path."""
+    prob = poisson_problem(2, 16, degree=2, operator="kron",
+                           dtype=jnp.float64)
+    cfg = CycleConfig(nu1=2, nu2=2,
+                      smoother=SmootherConfig(kind="rbgs", omega=1.0))
+    tf = DistributedMG(prob, num_levels=2, mesh_shape=(2, 2), cfg=cfg,
+                       operator="kron", mixed=True,
+                       mixed_residual="twofloat")
+    assert tf.mixed_residual == "twofloat"
+    res_tf = tf.solve(tol=1e-10, maxiter=60)
+    assert res_tf.converged, res_tf.residuals[-3:]
+    r = prob.b - prob.A.dot(res_tf.x)
+    assert float(r.norm()) <= 2e-10
+    f64 = DistributedMG(prob, num_levels=2, mesh_shape=(2, 2), cfg=cfg,
+                        operator="kron", mixed=True, mixed_residual="f64")
+    res_64 = f64.solve(tol=1e-10, maxiter=60)
+    for a, b in zip(res_64.residuals[:6], res_tf.residuals[:6]):
+        assert abs(a - b) / max(a, 1e-30) < 0.05, (a, b)
+
+
+def test_dist_mixed_residual_guard():
+    prob = poisson_problem(2, 16, degree=2, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="twofloat"):
+        DistributedMG(prob, num_levels=2, mesh_shape=(2, 2), mixed=True,
+                      mixed_residual="twofloat")   # banded operator
+
+
 @pytest.mark.parametrize("operator", ["banded", "kron"])
 def test_dist_periodic_solve(operator):
     """Distributed periodic solve, both operator formats (ask #8)."""

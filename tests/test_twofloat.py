@@ -94,3 +94,52 @@ def test_dw_norm2_accuracy():
     got = float(tf.dw_norm2(xh, xl))
     ref = float(jnp.linalg.norm(x))
     assert abs(got - ref) / ref < 1e-12
+
+
+def test_eft_exact_under_jit_with_broadcast():
+    """Regression (round 3): XLA:CPU fusion + LLVM fma-contraction broke
+    Dekker two_prod when a broadcast fed the graph — consumers recomputed
+    the full-width product and contracted ``s − a·b`` into fma, double-
+    counting the residue (zl = 2e + t; ~1e-7 floor on dw residuals).  The
+    contraction-immune two_prod (exact partial products + two_sum
+    cascade) must stay exact INSIDE jit, with in-graph broadcasting."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from poms_tpu.ops.twofloat import dw_add, dw_mul, split_f64, two_prod
+
+    rng = np.random.default_rng(3)
+    c64 = jnp.asarray(rng.standard_normal((8, 1)))
+    x64 = jnp.asarray(rng.standard_normal((8, 16)))
+    C = split_f64(c64)
+    X = split_f64(x64)
+    tru = c64.astype(jnp.float64) * x64.astype(jnp.float64)
+
+    zh, zl = jax.jit(lambda C, X: dw_mul(*C, *X))(C, X)
+    err = jnp.max(jnp.abs(zh.astype(jnp.float64) + zl.astype(jnp.float64)
+                          - tru))
+    assert float(err) < 1e-13 * float(jnp.max(jnp.abs(tru))), float(err)
+
+    # two_prod exact decomposition under jit (broadcast operands)
+    a = C[0]
+    b = X[0]
+    p, e = jax.jit(two_prod)(a, b)
+    exact = a.astype(jnp.float64) * b.astype(jnp.float64)
+    d = jnp.max(jnp.abs(p.astype(jnp.float64) + e.astype(jnp.float64)
+                        - exact))
+    assert float(d) == 0.0, float(d)
+
+    # chained mul+add (the contraction loop shape) stays dw-accurate
+    y64 = jnp.asarray(rng.standard_normal((8, 16)))
+    Y = split_f64(y64)
+
+    def comp(C, X, Y):
+        t = dw_mul(*C, *X)
+        return dw_add(*t, *Y)
+
+    zh2, zl2 = jax.jit(comp)(C, X, Y)
+    tru2 = tru + y64.astype(jnp.float64)
+    err2 = jnp.max(jnp.abs(zh2.astype(jnp.float64)
+                           + zl2.astype(jnp.float64) - tru2))
+    assert float(err2) < 1e-13 * float(jnp.max(jnp.abs(tru2))), float(err2)
