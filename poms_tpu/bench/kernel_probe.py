@@ -399,7 +399,20 @@ def probe_ablate(n: int, p: int, variant: str, t2o: int = 0):
     print(f"RESULT ablate[{variant},t2={t2}]: {wall*1e3:.3f} ms", flush=True)
 
 
+def _enable_persistent_cache():
+    """Reuse compiled executables across probe processes — the remote
+    compile service on this machine is intermittently minutes-slow, and
+    every subprocess otherwise recompiles from scratch."""
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_poms")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — older jax: flag absent; run uncached
+        pass
+
+
 def main():
+    _enable_persistent_cache()
     probe = sys.argv[1] if len(sys.argv) > 1 else "stream"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     p = int(sys.argv[3]) if len(sys.argv) > 3 else 3

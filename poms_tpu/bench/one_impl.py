@@ -18,7 +18,10 @@ def main():
 
     import jax.numpy as jnp
 
+    from poms_tpu.bench.kernel_probe import _enable_persistent_cache
     from poms_tpu.bench.roofline import bench_spmv
+
+    _enable_persistent_cache()
 
     r = bench_spmv((n,) * d, degree=degree, dtype=jnp.float32, iters=iters,
                    impl=impl)

@@ -21,6 +21,9 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    from poms_tpu.bench.kernel_probe import _enable_persistent_cache
+
+    _enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 
