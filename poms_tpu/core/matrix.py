@@ -169,8 +169,21 @@ class StencilMatrix:
         return self.tocoo().tocsr()
 
     def tobsr(self, blocksize=None):
-        """BSR view (banded/BSR storage parity — BASELINE.json:5)."""
-        return self.tocsr().tobsr(blocksize=blocksize)
+        """Native BSR storage (banded/BSR parity — BASELINE.json:5).
+
+        Returns :class:`poms_tpu.sparse.bsr.BsrMatrix` built directly from
+        the stencil's COO triplets.  Default block size: the last grid dim's
+        band count (2·p_last + 1) if it tiles the matrix, else 1×1.
+        """
+        from poms_tpu.sparse.bsr import BsrMatrix
+
+        n = self.space.size
+        if blocksize is None:
+            w = 2 * self.space.pads[-1] + 1
+            b = w if n % w == 0 else 1
+            blocksize = (b, b)
+        rows, cols, vals = self._coo_arrays()
+        return BsrMatrix.from_coo(rows, cols, vals, (n, n), blocksize)
 
     def toarray(self):
         return self.tocoo().toarray()
