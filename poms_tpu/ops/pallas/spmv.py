@@ -43,6 +43,7 @@ implementation (SURVEY.md §7.2.1).
 from __future__ import annotations
 
 import math
+from functools import partial as _partial
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["spmv_banded_pallas", "jacobi_fused_pallas",
-           "residual_fused_pallas", "rbgs_color_pallas"]
+           "residual_fused_pallas", "rbgs_color_pallas", "pack_band_v2"]
 
 _LANE = 128
 _SUB = 8
@@ -353,6 +354,373 @@ def _stencil_call(band_t, x_pad, b, omega, npts, pads, mode, interpret,
 
 
 # ---------------------------------------------------------------------------
+# v2 engine: DMA-delivered sublane shifts + t0-plane reuse
+# ---------------------------------------------------------------------------
+#
+# Round-2/3 ablations (bench/kernel_probe.py) localize v1's cap in the VPU:
+# every (k1,k2,k3) term materializes a fresh shifted window read (~7
+# vreg-ops/nnz; the sublane funnel is the worst part).  v2 removes both
+# shift axes from the per-term path:
+#
+#   - the SUBLANE (dim-1) shift is done by the DMA engine: the halo window
+#     is copied w2 times per tile, once per k2 offset (HBM sublane slice
+#     starts are unconstrained; only lane starts must be 128-aligned), so
+#     the kernel holds xw[slot, k2] = x[.., j+k2, ..] pre-shifted.  Extra
+#     HBM x traffic: w2·nq/(w1·w2·w3·t0) ≈ 7% of band traffic at t0=8.
+#   - the LEADING (dim-0) shift is free: a plane index into the window.
+#     Tiling the output leading dim at t0 planes makes each copied window
+#     serve w1 output planes, which is what amortizes the extra copies.
+#   - only the LANE (dim-2) shift remains on the VPU, as a static-offset
+#     VMEM read (one aligned load + one rotate), fused into the MAC.
+#
+# Inner loop is i1-outer so each output plane's accumulator stays in
+# registers across its (2p+1)² terms per chunk — accs never round-trip
+# VMEM (v15's cache-array variant lost exactly there: measured 57% SoL vs
+# v1's 68%, the cache fill + reload traffic ate the shift savings).
+
+
+def _choose_tiles_v2(npts, pads, itemsize):
+    """(t0, t2, 128): leading dim tiled at 8 planes (plane reuse), lane
+    pinned to one native tile, t2 sized to a ~12 MB VMEM budget counting
+    the double-buffered band block, the w2 double-buffered halo windows
+    and the output/vector blocks; then shrunk to the smallest tile keeping
+    the same tile count (grid padding is wasted band stream)."""
+    w2, w3 = 2 * pads[1] + 1, 2 * pads[2] + 1
+    t3 = _LANE
+    t0 = 8 if npts[0] >= 8 else 1
+    nq = t0 + 2 * pads[0]
+    t3w = _rup(t3 + 2 * pads[2], _LANE)
+    budget = 12 * 1024 * 1024
+    per_t2 = itemsize * (2 * w2 * w3 * t0 * t3 + 2 * w2 * nq * t3w
+                         + 4 * t0 * t3)
+    t2 = budget // per_t2
+    t2 = max(_SUB, min((t2 // _SUB) * _SUB, 256))
+    n_tiles = _cdiv(npts[1], t2)
+    t2 = _rup(_cdiv(npts[1], n_tiles), _SUB)
+    return (t0, t2, t3)
+
+
+def _window_v2(tile, pads):
+    """Per-k2 halo window (nq, t2, t3w): leading = t0 + 2p0 planes, sublane
+    = exactly t2 rows (the k2 shift moved into the DMA source offset), lane
+    = t3 + 2p2 rounded up to a native tile."""
+    nq = tile[0] + 2 * pads[0]
+    t3w = _rup(tile[2] + 2 * pads[2], _LANE)
+    return (nq, tile[1], t3w)
+
+
+def _pad_operands_v2(band_t, x_pad, b, npts, pads, tile):
+    """Zero-pad grid dims to tile multiples; x additionally gets lane-dim
+    end padding so the alignment-rounded window DMA stays in bounds (the
+    other dims' windows end exactly at N + 2p — no rounding there)."""
+    nd = 3
+    N = tuple(_rup(npts[a], tile[a]) for a in range(nd))
+    t3w = _rup(tile[2] + 2 * pads[2], _LANE)
+    lane_extra = t3w - (tile[2] + 2 * pads[2])
+    if N != tuple(npts):
+        if band_t is not None:       # None: band handled by pack_band_v2
+            band_t = jnp.pad(band_t, [(0, 0)] * nd
+                             + [(0, N[a] - npts[a]) for a in range(nd)])
+        if b is not None:
+            b = jnp.pad(b, [(0, N[a] - npts[a]) for a in range(nd)])
+    x_extra = [(0, N[a] - npts[a] + (lane_extra if a == 2 else 0))
+               for a in range(nd)]
+    if any(e != (0, 0) for e in x_extra):
+        x_pad = jnp.pad(x_pad, x_extra)
+    return band_t, x_pad, b, N
+
+
+def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
+    p0, p1, p2 = pads
+    t0, t2, t3 = tile
+    w2, w3 = 2 * p1 + 1, 2 * p2 + 1
+    GI, GJ, GL = gshape
+    n_tiles = GI * GJ * GL
+
+    def window_copy(ids, k2, xw, sem, slot, x_hbm):
+        """Async copy of the k2-sublane-shifted halo window.  The shift
+        lives in the PRE-SHIFTED HBM stack xs[k2] (built by XLA in
+        _stencil_call_v2): Mosaic requires DMA slice starts to be provably
+        divisible by the (8, 128) tiling in BOTH tiled dims — measured
+        this round: `ids[1]*t2 + k2` fails to prove for dim 1 — so the
+        kernel-side starts are all syntactic tile multiples and the +k2
+        happened at stack-build time."""
+        src = x_hbm.at[k2,
+                       pl.ds(ids[0] * t0, win[0]),
+                       pl.ds(ids[1] * t2, win[1]),
+                       pl.ds(ids[2] * t3, win[2])]
+        return pltpu.make_async_copy(src, xw.at[slot, k2], sem.at[slot, k2])
+
+    def body_common(k, x_hbm, band_ref, xw, sem):
+        """One k1 chunk: per output plane i1, accumulate the (2p+1)² MACs
+        against pre-shifted windows.  Double-buffered across tiles exactly
+        like v1 (wait this tile's w2 copies, immediately start the next
+        tile's)."""
+        ids = [pl.program_id(a) for a in range(3)]
+        t_lin = (ids[0] * GJ + ids[1]) * GL + ids[2]
+        slot = jax.lax.rem(t_lin, jnp.int32(2))
+
+        @pl.when(k == 0)
+        def _():
+            @pl.when(t_lin == 0)
+            def _():
+                for k2 in range(w2):
+                    window_copy(ids, k2, xw, sem, 0, x_hbm).start()
+
+            for k2 in range(w2):
+                window_copy(ids, k2, xw, sem, slot, x_hbm).wait()
+            nxt = t_lin + 1
+
+            @pl.when(nxt < n_tiles)
+            def _():
+                l2 = jax.lax.rem(nxt, jnp.int32(GL))
+                j2 = jax.lax.rem(nxt // GL, jnp.int32(GJ))
+                i2 = nxt // (GJ * GL)
+                for k2 in range(w2):
+                    window_copy((i2, j2, l2), k2, xw, sem, 1 - slot,
+                                x_hbm).start()
+
+        # timing-only ablations (bench/kernel_probe.py v2abl — results are
+        # intentionally WRONG): "nolane" pins the lane offset to 0,
+        # "staticq" pins the window plane index — isolating the cost of
+        # the lane rotate vs the dynamic plane index in the operand read
+        import os
+
+        _abl = os.environ.get("POMS_V2_ABLATE", "")
+        accs = []
+        for i1 in range(t0):
+            acc = None
+            for k2 in range(w2):
+                for k3 in range(w3):
+                    # blocked band (see _stencil_call_v2): each grid step's
+                    # slab is contiguous in HBM and every coeff read is a
+                    # static aligned (t2, t3) slice
+                    off = ((k2 * w3 + k3) * t0 + i1) * t2
+                    coeff = band_ref[0, 0, pl.ds(off, t2), :]
+                    q = i1 if "staticq" in _abl else k + i1
+                    k3e = 0 if "nolane" in _abl else k3
+                    opnd = xw[slot, k2, q, :,
+                              pl.ds(k3e, t3)]                # lane rotate
+                    term = coeff * opnd
+                    acc = term if acc is None else acc + term
+            accs.append(acc)
+        return accs, slot
+
+    def center_plane(xw, slot, i1):
+        """Unshifted central operand for output plane i1: window k2 = p1,
+        plane index i1 + p0, lane offset p2 — all static."""
+        return xw[slot, p1, i1 + p0, :, pl.ds(p2, t3)]
+
+    if mode in ("spmv", "residual"):
+        def kernel(x_hbm, band_ref, *rest):
+            if mode == "spmv":
+                out_ref, xw, sem = rest
+            else:
+                b_ref, out_ref, xw, sem = rest
+            k = pl.program_id(3)
+            accs, _ = body_common(k, x_hbm, band_ref, xw, sem)
+            for i1 in range(t0):
+                @pl.when(k == 0)
+                def _(i1=i1):
+                    out_ref[i1] = accs[i1]
+
+                @pl.when(k > 0)
+                def _(i1=i1):
+                    out_ref[i1] = out_ref[i1] + accs[i1]
+
+            if mode == "residual":
+                @pl.when(k == kc - 1)
+                def _():
+                    out_ref[...] = b_ref[...] - out_ref[...]
+        return kernel
+
+    if mode == "jacobi":
+        def kernel(omega_ref, x_hbm, band_ref, b_ref, diag_ref, *rest):
+            out_ref, xw, sem = rest
+            k = pl.program_id(3)
+            accs, slot = body_common(k, x_hbm, band_ref, xw, sem)
+            for i1 in range(t0):
+                @pl.when(k == 0)
+                def _(i1=i1):
+                    out_ref[i1] = accs[i1]
+
+                @pl.when(k > 0)
+                def _(i1=i1):
+                    out_ref[i1] = out_ref[i1] + accs[i1]
+
+            @pl.when(k == kc - 1)
+            def _():
+                omega = omega_ref[0]
+                for i1 in range(t0):
+                    center = center_plane(xw, slot, i1)
+                    out_ref[i1] = center + omega * (
+                        b_ref[i1] - out_ref[i1]) / diag_ref[i1]
+        return kernel
+
+    # rbgs color phase — same parity convention as v1 (module docstring)
+    _, color, pcoef = mode
+
+    def kernel(omega_ref, pbase_ref, x_hbm, band_ref, b_ref, diag_ref,
+               *rest):
+        out_ref, xw, sem = rest
+        k = pl.program_id(3)
+        ids = [pl.program_id(a) for a in range(3)]
+        accs, slot = body_common(k, x_hbm, band_ref, xw, sem)
+        for i1 in range(t0):
+            @pl.when(k == 0)
+            def _(i1=i1):
+                out_ref[i1] = accs[i1]
+
+            @pl.when(k > 0)
+            def _(i1=i1):
+                out_ref[i1] = out_ref[i1] + accs[i1]
+
+        base = (pbase_ref[0]
+                + pcoef[0] * ids[0] * t0
+                + pcoef[1] * ids[1] * t2
+                + pcoef[2] * ids[2] * t3)
+
+        @pl.when(k == kc - 1)
+        def _():
+            omega = omega_ref[0]
+            for i1 in range(t0):
+                center = center_plane(xw, slot, i1)
+                diag = diag_ref[i1]
+                offdiag = out_ref[i1] - diag * center
+                gs = (b_ref[i1] - offdiag) / diag
+                upd = (1.0 - omega) * center + omega * gs
+                lin = base + pcoef[0] * i1
+                if pcoef[1]:
+                    lin = lin + jax.lax.broadcasted_iota(
+                        jnp.int32, (t2, t3), 0)
+                if pcoef[2]:
+                    lin = lin + jax.lax.broadcasted_iota(
+                        jnp.int32, (t2, t3), 1)
+                mask = jax.lax.rem(lin, jnp.int32(2)) == color
+                out_ref[i1] = jnp.where(mask, upd, center)
+    return kernel
+
+
+def pack_band_v2(band_t, npts, pads):
+    """Pre-block a band for the v2 engine (one contiguous HBM slab per
+    grid step — see the blocked-band comment in _stencil_call_v2).
+
+    The relayout moves the full band once (~band-size read+write), so it
+    MUST happen once per operator, not per apply: measured on v5e, XLA
+    does NOT hoist it out of a chained-iteration loop (14.3 ms/iter vs
+    5.7 ms with the relayout inlined vs hoisted).  Production callers
+    (StencilMatrix, the bench, smoother sweeps) pack at setup and pass the
+    result through ``packed=``.
+    """
+    npts, pads = tuple(npts), tuple(pads)
+    itemsize = jnp.dtype(band_t.dtype).itemsize
+    tile = _choose_tiles_v2(npts, pads, itemsize)
+    N = tuple(_rup(npts[a], tile[a]) for a in range(3))
+    blk, diag = _pack_arrays_v2(band_t, npts, pads, tile)
+    return {"blk": blk, "diag": diag, "tile": tile, "N": N,
+            "npts": npts, "pads": pads}
+
+
+@_partial(jax.jit, static_argnames=("npts", "pads", "tile"))
+def _pack_arrays_v2(band_t, npts, pads, tile):
+    """One fused XLA program for the relayout (a single tunnel compile,
+    persistent-cacheable; eager per-op execution stalls the remote
+    compiler on this machine)."""
+    kc = 2 * pads[0] + 1
+    w2, w3 = 2 * pads[1] + 1, 2 * pads[2] + 1
+    t0, t2, t3 = tile
+    N = tuple(_rup(npts[a], tile[a]) for a in range(3))
+    if N != npts:
+        band_t = jnp.pad(band_t, [(0, 0)] * 3
+                         + [(0, N[a] - npts[a]) for a in range(3)])
+    diag = band_t[tuple(pads)]
+    GI, GJ, GL = (N[0] // t0, N[1] // t2, N[2] // t3)
+    S = w2 * w3 * t0 * t2
+    blk = band_t.reshape(kc, w2, w3, GI, t0, GJ, t2, GL, t3)
+    blk = blk.transpose(0, 3, 5, 7, 1, 2, 4, 6, 8)
+    blk = blk.reshape(kc, GI * GJ * GL, S, t3)
+    return blk, diag
+
+
+def _stencil_call_v2(band_t, x_pad, b, omega, npts, pads, mode, interpret,
+                     pbase=None, packed=None):
+    kind = mode[0] if isinstance(mode, tuple) else mode
+    dtype = (band_t if packed is None else packed["blk"]).dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    kc = 2 * pads[0] + 1
+    w2, w3 = 2 * pads[1] + 1, 2 * pads[2] + 1
+    if packed is None:
+        packed = pack_band_v2(band_t, npts, pads)
+    else:
+        assert packed["npts"] == tuple(npts) and packed["pads"] == tuple(pads)
+    tile = packed["tile"]
+    _, x_pad, b, N = _pad_operands_v2(None, x_pad, b, npts, pads, tile)
+    assert N == packed["N"]
+    win = _window_v2(tile, pads)
+    # Pre-shifted HBM stack: xs[k2, i, j, l] = x_pad[i, j + k2, l].  One
+    # cheap XLA pass (~5% of band traffic at 128³ p3) that moves the
+    # sublane stencil shift off the VPU *and* out of the DMA start
+    # arithmetic (kernel-side starts must be provable tile multiples —
+    # see window_copy).
+    xs = jnp.stack([jax.lax.slice_in_dim(x_pad, k2, k2 + N[1], axis=1)
+                    for k2 in range(w2)])
+    diag = packed["diag"] if kind in ("jacobi", "rbgs") else None
+    grid = (N[0] // tile[0], N[1] // tile[1], N[2] // tile[2], kc)
+    GI, GJ, GL = grid[:3]
+    t0, t2, t3 = tile
+    S = w2 * w3 * t0 * t2
+    band_blk = packed["blk"]
+
+    band_spec = pl.BlockSpec(
+        (1, 1, S, t3),
+        lambda i, j, l, k, *_: (k, (i * GJ + j) * GL + l, 0, 0),
+        memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec(tile,
+                            lambda i, j, l, k, *_: (i, j, l),
+                            memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    scratch = [pltpu.VMEM((2, w2) + win, dtype),
+               pltpu.SemaphoreType.DMA((2, w2))]
+    out_shape = jax.ShapeDtypeStruct(N, dtype)
+    kernel = _make_kernel_v2(tile, pads, mode, win, kc, grid[:3])
+
+    if kind == "spmv":
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=[x_spec, band_spec],
+            out_specs=vec_spec, out_shape=out_shape,
+            scratch_shapes=scratch, interpret=interpret,
+        )(xs, band_blk)
+    elif kind == "residual":
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=[x_spec, band_spec, vec_spec],
+            out_specs=vec_spec, out_shape=out_shape,
+            scratch_shapes=scratch, interpret=interpret,
+        )(xs, band_blk, b)
+    elif kind == "jacobi":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[x_spec, band_spec, vec_spec, vec_spec],
+            out_specs=vec_spec, scratch_shapes=scratch)
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(jnp.asarray([omega], dtype), xs, band_blk, b, diag)
+    else:  # rbgs color phase
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=grid,
+            in_specs=[x_spec, band_spec, vec_spec, vec_spec],
+            out_specs=vec_spec, scratch_shapes=scratch)
+        pbase_arr = jnp.asarray(pbase, jnp.int32).reshape(1)
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(jnp.asarray([omega], dtype), pbase_arr, xs, band_blk, b, diag)
+    if N != tuple(npts):
+        out = out[tuple(slice(0, n) for n in npts)]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # 1D planking
 # ---------------------------------------------------------------------------
 
@@ -386,9 +754,31 @@ def _unplank(out2, n):
 # public entry points
 # ---------------------------------------------------------------------------
 
+def _engine():
+    """Kernel engine selection.
+
+    - ``v1`` (default): the round-2 chunked kernel — measured 5.19 ms /
+      68.1% SoL on 128³ p3; compute-bound (compute probe: 5.02 ms vs the
+      3.51 ms band-stream floor).
+    - ``v2`` (``POMS_TPU_SPMV=v2``): DMA-shifted windows + t0-plane reuse
+      + pre-blocked band.  Callers MUST pass ``packed=pack_band_v2(...)``
+      from loops — the inline relayout fallback re-runs the full band
+      transpose per application (measured 14.3 ms/iter; XLA does not
+      hoist it), so v2 stays opt-in until every production call site
+      threads the packed band.
+    """
+    import os
+
+    return (_stencil_call_v2 if os.environ.get("POMS_TPU_SPMV") == "v2"
+            else _stencil_call)
+
+
 def _dispatch(band_t, x_pad, b, omega, npts, pads, mode, interpret,
-              color=None, starts=None):
+              color=None, starts=None, packed=None):
     nd = len(npts)
+    call = _engine()
+    if packed is not None and (nd != 3 or call is not _stencil_call_v2):
+        packed = None        # pre-packing only exists for the 3D v2 path
     if starts is None:
         starts = (0,) * nd
     if nd == 1:
@@ -401,7 +791,7 @@ def _dispatch(band_t, x_pad, b, omega, npts, pads, mode, interpret,
         if isinstance(mode, str) and mode == "rbgs":
             mode = ("rbgs", color, (0, W % 2, 1))
         band6 = band2_t[None, None, :, None]    # (1, 1, w, 1, R, W)
-        out = _stencil_call(band6, x2[None],
+        out = call(band6, x2[None],
                             None if b2 is None else b2[None], omega,
                             (1, R, W), (0, 0, p), mode, interpret,
                             pbase=starts[0])
@@ -410,7 +800,7 @@ def _dispatch(band_t, x_pad, b, omega, npts, pads, mode, interpret,
         if isinstance(mode, str) and mode == "rbgs":
             mode = ("rbgs", color, (0, 1, 1))
         band6 = band_t[None, :, :, None]        # (1, w1, w2, 1, n1, n2)
-        out = _stencil_call(band6, x_pad[None],
+        out = call(band6, x_pad[None],
                             None if b is None else b[None], omega,
                             (1,) + tuple(npts), (0,) + tuple(pads),
                             mode, interpret, pbase=starts[0] + starts[1])
@@ -418,33 +808,41 @@ def _dispatch(band_t, x_pad, b, omega, npts, pads, mode, interpret,
     if nd == 3:
         if isinstance(mode, str) and mode == "rbgs":
             mode = ("rbgs", color, (1, 1, 1))
-        return _stencil_call(band_t, x_pad, b, omega, tuple(npts),
+        kw = {"packed": packed} if packed is not None else {}
+        return call(band_t, x_pad, b, omega, tuple(npts),
                              tuple(pads), mode, interpret,
-                             pbase=starts[0] + starts[1] + starts[2])
+                             pbase=starts[0] + starts[1] + starts[2], **kw)
     raise NotImplementedError("pallas kernels cover 1D/2D/3D")
 
 
-def spmv_banded_pallas(band_t, x_pad, npts, pads, interpret=False):
+def spmv_banded_pallas(band_t, x_pad, npts, pads, interpret=False,
+                       packed=None):
     """out[i] = Σ_k band_t[k, i] · x_pad[i+k] — Pallas twin of
-    :func:`poms_tpu.ops.spmv.spmv_banded_jnp` (bit-compatible in f32)."""
+    :func:`poms_tpu.ops.spmv.spmv_banded_jnp` (bit-compatible in f32).
+
+    ``packed``: optional :func:`pack_band_v2` result for the 3D v2 engine —
+    pass it from any loop so the one-time band relayout is not re-traced
+    per application."""
     return _dispatch(band_t, x_pad, None, None, tuple(npts), tuple(pads),
-                     "spmv", interpret)
+                     "spmv", interpret, packed=packed)
 
 
-def residual_fused_pallas(band_t, x_pad, b, npts, pads, interpret=False):
+def residual_fused_pallas(band_t, x_pad, b, npts, pads, interpret=False,
+                          packed=None):
     """r = b − A·x in one fused pass."""
     return _dispatch(band_t, x_pad, b, None, tuple(npts), tuple(pads),
-                     "residual", interpret)
+                     "residual", interpret, packed=packed)
 
 
-def jacobi_fused_pallas(band_t, x_pad, b, omega, npts, pads, interpret=False):
+def jacobi_fused_pallas(band_t, x_pad, b, omega, npts, pads,
+                        interpret=False, packed=None):
     """x' = x + ω·(b − A·x)/diag(A) in one fused pass (SURVEY.md §7.0)."""
     return _dispatch(band_t, x_pad, b, float(omega), tuple(npts),
-                     tuple(pads), "jacobi", interpret)
+                     tuple(pads), "jacobi", interpret, packed=packed)
 
 
 def rbgs_color_pallas(band_t, x_pad, b, omega, color, npts, pads,
-                      starts=None, interpret=False):
+                      starts=None, interpret=False, packed=None):
     """One red-black Gauss–Seidel COLOR PHASE in a single fused pass
     (SURVEY.md §7.1.5): full banded SpMV + masked hybrid-GS update,
 
@@ -459,4 +857,4 @@ def rbgs_color_pallas(band_t, x_pad, b, omega, color, npts, pads,
     """
     return _dispatch(band_t, x_pad, b, float(omega), tuple(npts),
                      tuple(pads), "rbgs", interpret, color=int(color),
-                     starts=starts)
+                     starts=starts, packed=packed)

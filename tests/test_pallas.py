@@ -18,15 +18,32 @@ CASES = [
     ((40, 140), 3),    # forces 2D tile padding
     ((8, 12, 20), 1),
     ((10, 9, 130), 2),
+    ((24, 18, 140), 3),  # v2: multiple t0=8 leading tiles + grid padding
 ]
+
+
+@pytest.fixture(params=["v1", "v2"], autouse=True)
+def engine(request, monkeypatch):
+    """Run every kernel parity test under BOTH engines (ops/pallas/spmv.py:
+    v1 = round-2 chunked kernel, v2 = DMA-shifted-window production
+    kernel)."""
+    if request.param == "v1":
+        monkeypatch.setenv("POMS_TPU_SPMV", "v1")
+    else:
+        monkeypatch.delenv("POMS_TPU_SPMV", raising=False)
+    return request.param
 
 
 def _setup(npts, p, seed=0, dtype=jnp.float32):
     d = len(npts)
     rng = np.random.default_rng(seed)
-    # offset-major band (win..., grid...) — core/matrix.py layout
+    # offset-major band (win..., grid...) — core/matrix.py layout;
+    # normalized so |A·x| stays O(1) and the absolute tolerances below are
+    # meaningful for every (d, p) (343-term f32 sums otherwise outgrow atol)
+    terms = (2 * p + 1) ** d
     band_t = jnp.asarray(
-        rng.standard_normal(tuple(2 * p + 1 for _ in range(d)) + npts), dtype)
+        rng.standard_normal(tuple(2 * p + 1 for _ in range(d)) + npts)
+        / (2.0 * np.sqrt(terms)), dtype)
     xpad = jnp.asarray(
         rng.standard_normal(tuple(n + 2 * p for n in npts)), dtype)
     b = jnp.asarray(rng.standard_normal(npts), dtype)
