@@ -451,7 +451,7 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
                        pl.ds(ids[2] * t3, win[2])]
         return pltpu.make_async_copy(src, xw.at[slot, k2], sem.at[slot, k2])
 
-    def body_common(k, x_hbm, band_ref, xw, sem):
+    def body_common(k, x_hbm, band_ref, xw, sem, out_ref):
         """One k1 chunk: per output plane i1, accumulate the (2p+1)² MACs
         against pre-shifted windows.  Double-buffered across tiles exactly
         like v1 (wait this tile's w2 copies, immediately start the next
@@ -480,15 +480,18 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
                     window_copy((i2, j2, l2), k2, xw, sem, 1 - slot,
                                 x_hbm).start()
 
-        # timing-only ablations (bench/kernel_probe.py v2abl — results are
-        # intentionally WRONG): "nolane" pins the lane offset to 0,
-        # "staticq" pins the window plane index — isolating the cost of
-        # the lane rotate vs the dynamic plane index in the operand read
+        # timing-only ablations (results intentionally WRONG): "nolane"
+        # pins the lane offset, "staticq" the window plane index — they
+        # isolate the operand-read cost components (measured: nolane is
+        # within noise of the full kernel, so lane rotates are free here)
         import os
 
         _abl = os.environ.get("POMS_V2_ABLATE", "")
-        accs = []
         for i1 in range(t0):
+            # one live accumulator at a time; each output plane is folded
+            # into out_ref the moment its (2p+1)² terms are summed (t0
+            # simultaneously-live accumulators would spill the register
+            # file across the whole chunk)
             acc = None
             for k2 in range(w2):
                 for k3 in range(w3):
@@ -503,8 +506,15 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
                               pl.ds(k3e, t3)]                # lane rotate
                     term = coeff * opnd
                     acc = term if acc is None else acc + term
-            accs.append(acc)
-        return accs, slot
+
+            @pl.when(k == 0)
+            def _(i1=i1, acc=acc):
+                out_ref[i1] = acc
+
+            @pl.when(k > 0)
+            def _(i1=i1, acc=acc):
+                out_ref[i1] = out_ref[i1] + acc
+        return slot
 
     def center_plane(xw, slot, i1):
         """Unshifted central operand for output plane i1: window k2 = p1,
@@ -518,15 +528,7 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
             else:
                 b_ref, out_ref, xw, sem = rest
             k = pl.program_id(3)
-            accs, _ = body_common(k, x_hbm, band_ref, xw, sem)
-            for i1 in range(t0):
-                @pl.when(k == 0)
-                def _(i1=i1):
-                    out_ref[i1] = accs[i1]
-
-                @pl.when(k > 0)
-                def _(i1=i1):
-                    out_ref[i1] = out_ref[i1] + accs[i1]
+            body_common(k, x_hbm, band_ref, xw, sem, out_ref)
 
             if mode == "residual":
                 @pl.when(k == kc - 1)
@@ -538,15 +540,7 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
         def kernel(omega_ref, x_hbm, band_ref, b_ref, diag_ref, *rest):
             out_ref, xw, sem = rest
             k = pl.program_id(3)
-            accs, slot = body_common(k, x_hbm, band_ref, xw, sem)
-            for i1 in range(t0):
-                @pl.when(k == 0)
-                def _(i1=i1):
-                    out_ref[i1] = accs[i1]
-
-                @pl.when(k > 0)
-                def _(i1=i1):
-                    out_ref[i1] = out_ref[i1] + accs[i1]
+            slot = body_common(k, x_hbm, band_ref, xw, sem, out_ref)
 
             @pl.when(k == kc - 1)
             def _():
@@ -565,15 +559,7 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
         out_ref, xw, sem = rest
         k = pl.program_id(3)
         ids = [pl.program_id(a) for a in range(3)]
-        accs, slot = body_common(k, x_hbm, band_ref, xw, sem)
-        for i1 in range(t0):
-            @pl.when(k == 0)
-            def _(i1=i1):
-                out_ref[i1] = accs[i1]
-
-            @pl.when(k > 0)
-            def _(i1=i1):
-                out_ref[i1] = out_ref[i1] + accs[i1]
+        slot = body_common(k, x_hbm, band_ref, xw, sem, out_ref)
 
         base = (pbase_ref[0]
                 + pcoef[0] * ids[0] * t0
@@ -671,9 +657,17 @@ def _stencil_call_v2(band_t, x_pad, b, omega, npts, pads, mode, interpret,
     S = w2 * w3 * t0 * t2
     band_blk = packed["blk"]
 
+    import os as _os
+
+    if "bandreuse" in _os.environ.get("POMS_V2_ABLATE", ""):
+        # timing-only ablation: pin the band to block 0 → ~zero band HBM
+        # traffic after the first step; separates band-DMA-bound from
+        # compute-bound (results intentionally wrong)
+        band_imap = lambda i, j, l, k, *_: (0, 0, 0, 0)
+    else:
+        band_imap = lambda i, j, l, k, *_: (k, (i * GJ + j) * GL + l, 0, 0)
     band_spec = pl.BlockSpec(
-        (1, 1, S, t3),
-        lambda i, j, l, k, *_: (k, (i * GJ + j) * GL + l, 0, 0),
+        (1, 1, S, t3), band_imap,
         memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec(tile,
                             lambda i, j, l, k, *_: (i, j, l),
@@ -683,18 +677,26 @@ def _stencil_call_v2(band_t, x_pad, b, omega, npts, pads, mode, interpret,
                pltpu.SemaphoreType.DMA((2, w2))]
     out_shape = jax.ShapeDtypeStruct(N, dtype)
     kernel = _make_kernel_v2(tile, pads, mode, win, kc, grid[:3])
+    # the k1 dim revisits the output block (reduction); spatial dims are
+    # independent — telling Mosaic lets it pipeline the per-step band-slab
+    # fetch more aggressively
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary", "arbitrary",
+                             "arbitrary"))
 
     if kind == "spmv":
         out = pl.pallas_call(
             kernel, grid=grid, in_specs=[x_spec, band_spec],
             out_specs=vec_spec, out_shape=out_shape,
             scratch_shapes=scratch, interpret=interpret,
+            compiler_params=cparams,
         )(xs, band_blk)
     elif kind == "residual":
         out = pl.pallas_call(
             kernel, grid=grid, in_specs=[x_spec, band_spec, vec_spec],
             out_specs=vec_spec, out_shape=out_shape,
             scratch_shapes=scratch, interpret=interpret,
+            compiler_params=cparams,
         )(xs, band_blk, b)
     elif kind == "jacobi":
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -703,7 +705,7 @@ def _stencil_call_v2(band_t, x_pad, b, omega, npts, pads, mode, interpret,
             out_specs=vec_spec, scratch_shapes=scratch)
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
-            interpret=interpret,
+            interpret=interpret, compiler_params=cparams,
         )(jnp.asarray([omega], dtype), xs, band_blk, b, diag)
     else:  # rbgs color phase
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -713,7 +715,7 @@ def _stencil_call_v2(band_t, x_pad, b, omega, npts, pads, mode, interpret,
         pbase_arr = jnp.asarray(pbase, jnp.int32).reshape(1)
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
-            interpret=interpret,
+            interpret=interpret, compiler_params=cparams,
         )(jnp.asarray([omega], dtype), pbase_arr, xs, band_blk, b, diag)
     if N != tuple(npts):
         out = out[tuple(slice(0, n) for n in npts)]
