@@ -71,7 +71,8 @@ def main():
         log(f"device probe failed: {e}")
     log(f"assumed HBM SoL: {sol} GB/s")
 
-    impls = os.environ.get("POMS_BENCH_IMPLS", "jnp,kron,pallas").split(",")
+    impls = os.environ.get("POMS_BENCH_IMPLS",
+                           "jnp,kron,pallas,streamfloor").split(",")
     results = {}
     for impl in impls:
         r = run_impl(impl)
@@ -97,7 +98,8 @@ def main():
                           "value": 0.0, "unit": "Gnnz/s",
                           "vs_baseline": 0.0}))
         return 1
-    best_impl = max(results, key=lambda k: results[k]["gnnz_per_s"])
+    real = {k: v for k, v in results.items() if k != "streamfloor"}
+    best_impl = max(real or results, key=lambda k: results[k]["gnnz_per_s"])
     best = results[best_impl]
     log(f"best impl: {best_impl}")
     # baseline = the chip's conservative banded-storage speed-of-light
@@ -114,6 +116,19 @@ def main():
         # (VERDICT r2 weak #9 / ask #4)
         "pallas_pct_sol": (round(results["pallas"]["pct_sol"], 1)
                            if "pallas" in results else None),
+        # MEASURED ceiling: the streamfloor row is a pure contiguous DMA of
+        # the band (no stencil work) — the fastest any band-streaming
+        # kernel can possibly be on THIS chip.  Round-3 finding: it runs at
+        # ~555 GB/s (= 68% of the 819 GB/s public spec), so the production
+        # kernel's 68% "of paper SoL" is ~100% of the hardware's measured
+        # speed-of-light — see BASELINE.md round-3 ladder.
+        "measured_stream_ceiling_gbps": (
+            round(results["streamfloor"]["gbytes_per_s"], 1)
+            if "streamfloor" in results else None),
+        "pallas_pct_of_measured_ceiling": (
+            round(100.0 * results["pallas"]["gbytes_per_s"]
+                  / results["streamfloor"]["gbytes_per_s"], 1)
+            if "pallas" in results and "streamfloor" in results else None),
         "vcycle3d_to_1e10": {
             str(n): {"wall_s": round(r["wall_to_tol_s"], 4),
                      "iterations": r["iterations"],

@@ -97,6 +97,7 @@ def probe_stream(n: int, p: int, contiguous: bool):
     name = "streamc" if contiguous else "stream"
     print(f"RESULT {name}: {wall*1e3:.3f} ms  {gbps:.1f} GB/s  "
           f"{100*gbps/sol:.1f}% SoL", flush=True)
+    return wall, gbps
 
 
 def probe_compute(n: int, p: int):

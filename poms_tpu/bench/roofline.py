@@ -136,6 +136,16 @@ def bench_spmv(npts, degree: int = 3, dtype=jnp.float32, iters: int = 20,
 
         x0i = jnp.full(npts, 1e-3, dtype)
         wall = time_step_loop(step, x0i, iters=iters)
+    elif impl == "streamfloor":
+        # MEASURED speed-of-light: the contiguous band-stream probe — pure
+        # HBM DMA of the band (one add per coefficient plane, no stencil
+        # work).  No kernel that must read the band can be faster; round-3
+        # measurement: 555 GB/s on this chip vs the 819 GB/s public spec,
+        # i.e. the practical ceiling here is ~68% of paper SoL and the
+        # production v1 kernel sits at ~100% of the MEASURED ceiling.
+        from poms_tpu.bench.kernel_probe import probe_stream
+
+        wall, _ = probe_stream(npts[0], degree, contiguous=True)
     else:
         # IMPORTANT: generate operands ON DEVICE.  The 3D cubic band is
         # ~GBs; host->device transfer through this machine's TPU tunnel is
@@ -165,7 +175,7 @@ def bench_spmv(npts, degree: int = 3, dtype=jnp.float32, iters: int = 20,
         if impl == "pallas" and d == 3:
             import os
 
-            if os.environ.get("POMS_TPU_SPMV") != "v1":
+            if os.environ.get("POMS_TPU_SPMV") == "v2":
                 # v2 engine: the one-time band relayout (pack_band_v2) is
                 # operator setup, not per-apply work — pack outside the
                 # timed loop exactly as production callers do
