@@ -37,8 +37,13 @@ def _run_subproc(cmd, tag):
         log(f"{tag}: TIMEOUT after {TIMEOUT_S}s (tunnel stall?)")
         return None
     for line in proc.stdout.splitlines():
+        # take the first RESULT line that parses as JSON (probes also print
+        # human-readable "RESULT name: ..." rows on stdout)
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            try:
+                return json.loads(line[len("RESULT "):])
+            except json.JSONDecodeError:
+                continue
     tail = (proc.stderr or "").strip().splitlines()[-3:]
     log(f"{tag}: no result (exit {proc.returncode}); stderr tail: "
         + " | ".join(tail))
