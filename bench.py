@@ -56,10 +56,11 @@ def run_impl(impl):
          impl, str(DIM), str(N), str(DEGREE)], f"impl {impl}")
 
 
-def run_solve(n_el):
+def run_solve(n_el, residual="auto"):
     return _run_subproc(
         [sys.executable, "-u", "-m", "poms_tpu.bench.one_solve",
-         str(n_el), str(DEGREE)], f"solve n_el={n_el}")
+         str(n_el), str(DEGREE), "1e-10", residual],
+        f"solve n_el={n_el} residual={residual}")
 
 
 def main():
@@ -77,7 +78,7 @@ def main():
     log(f"assumed HBM SoL: {sol} GB/s")
 
     impls = os.environ.get("POMS_BENCH_IMPLS",
-                           "jnp,kron,pallas,streamfloor").split(",")
+                           "jnp,kron,pallas,streamfloor,xlastream").split(",")
     results = {}
     for impl in impls:
         r = run_impl(impl)
@@ -86,24 +87,32 @@ def main():
             log(f"{r['name']}: {r['wall_s']*1e3:.2f} ms  "
                 f"{r['gbytes_per_s']:.1f} GB/s  {r['gnnz_per_s']:.2f} Gnnz/s"
                 f"  {r['pct_sol']:.1f}% SoL")
-    # headline metric 2 (BASELINE.json:2): V-cycle wall to 1e-10, 3D
+    # headline metric 2 (BASELINE.json:2): V-cycle wall to 1e-10, 3D —
+    # BOTH residual modes with identical accounting (VERDICT r3 ask #3)
     solves = {}
     for n_el in [int(s) for s in
                  os.environ.get("POMS_BENCH_SOLVE", "64,128").split(",")
                  if s]:
-        r = run_solve(n_el)
-        if r is not None:
-            solves[n_el] = r
-            log(f"{r['name']}: {r['iterations']} cycles x "
-                f"{r['per_iter_s']*1e3:.1f} ms = {r['wall_to_tol_s']:.3f} s"
-                f" (converged={r['converged']}, "
-                f"residual_mode={r['residual_mode']})")
+        solves[n_el] = {}
+        for residual in os.environ.get("POMS_BENCH_RESIDUALS",
+                                       "twofloat,f64").split(","):
+            r = run_solve(n_el, residual)
+            if r is not None:
+                solves[n_el][r["residual_mode"]] = r
+                log(f"{r['name']}: {r['iterations']} cycles x "
+                    f"{r['per_iter_s']*1e3:.1f} ms = "
+                    f"{r['wall_to_tol_s']:.3f} s"
+                    f" (converged={r['converged']}, host-loop "
+                    f"{r['host_loop_per_iter_s']*1e3:.1f} ms/iter)")
+        if not solves[n_el]:
+            del solves[n_el]
     if not results:
         print(json.dumps({"metric": "spmv_3d_cubic_f32_gnnz_per_s",
                           "value": 0.0, "unit": "Gnnz/s",
                           "vs_baseline": 0.0}))
         return 1
-    real = {k: v for k, v in results.items() if k != "streamfloor"}
+    _PROBES = ("streamfloor", "xlastream", "xlastreamrw")
+    real = {k: v for k, v in results.items() if k not in _PROBES}
     best_impl = max(real or results, key=lambda k: results[k]["gnnz_per_s"])
     best = results[best_impl]
     log(f"best impl: {best_impl}")
@@ -121,25 +130,32 @@ def main():
         # (VERDICT r2 weak #9 / ask #4)
         "pallas_pct_sol": (round(results["pallas"]["pct_sol"], 1)
                            if "pallas" in results else None),
-        # MEASURED ceiling: the streamfloor row is a pure contiguous DMA of
-        # the band (no stencil work) — the fastest any band-streaming
-        # kernel can possibly be on THIS chip.  Round-3 finding: it runs at
-        # ~555 GB/s (= 68% of the 819 GB/s public spec), so the production
-        # kernel's 68% "of paper SoL" is ~100% of the hardware's measured
-        # speed-of-light — see BASELINE.md round-3 ladder.
-        "measured_stream_ceiling_gbps": (
-            round(results["streamfloor"]["gbytes_per_s"], 1)
-            if "streamfloor" in results else None),
+        # MEASURED ceiling (round-4 re-based — VERDICT r3 weak #2): the max
+        # same-session achieved GB/s over the streaming probes, which now
+        # include NON-Pallas plain-XLA streams (xlastream: read+reduce over
+        # band-sized data; xlastreamrw: elementwise read+write), not just
+        # the Pallas-pipelined streamfloor.  Round-4 measured all probes at
+        # 539-575 GB/s on this chip (the only thing faster is a pure DMA
+        # with no VPU consumption, 824 GB/s) — see BASELINE.md round-4
+        # section for the full evidence ladder.
+        "measured_stream_ceiling_gbps": (max(
+            (round(results[p]["gbytes_per_s"], 1)
+             for p in _PROBES if p in results), default=None)),
         "pallas_pct_of_measured_ceiling": (
             round(100.0 * results["pallas"]["gbytes_per_s"]
-                  / results["streamfloor"]["gbytes_per_s"], 1)
-            if "pallas" in results and "streamfloor" in results else None),
+                  / max(results[p]["gbytes_per_s"]
+                        for p in _PROBES if p in results), 1)
+            if "pallas" in results and any(p in results for p in _PROBES)
+            else None),
         "vcycle3d_to_1e10": {
-            str(n): {"wall_s": round(r["wall_to_tol_s"], 4),
-                     "iterations": r["iterations"],
-                     "per_iter_s": round(r["per_iter_s"], 5),
-                     "converged": r["converged"]}
-            for n, r in solves.items()},
+            str(n): {mode: {"wall_s": round(r["wall_to_tol_s"], 4),
+                            "iterations": r["iterations"],
+                            "per_iter_s": round(r["per_iter_s"], 5),
+                            "host_loop_per_iter_s":
+                                round(r["host_loop_per_iter_s"], 5),
+                            "converged": r["converged"]}
+                     for mode, r in by_mode.items()}
+            for n, by_mode in solves.items()},
     }
     print(json.dumps(doc))
     return 0

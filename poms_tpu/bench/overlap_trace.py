@@ -160,9 +160,29 @@ def run_overlap_check(out_json: str | None = None, n_el: int = 32,
     return rep
 
 
+def run_overlap_ab(out_json: str | None = None, n_el: int = 32) -> Dict:
+    """A/B control experiment (VERDICT r3 ask #5): capture the SAME sharded
+    step with overlap=True and overlap=False and report both fractions —
+    round 3 recorded only the treatment arm, which proves nothing about
+    whether the overlap formulation buys anything."""
+    rep = {"overlap_true": run_overlap_check(None, n_el, overlap=True),
+           "overlap_false": run_overlap_check(None, n_el, overlap=False)}
+    ft = rep["overlap_true"]["overlap_fraction"]
+    ff = rep["overlap_false"]["overlap_fraction"]
+    rep["fraction_gain"] = (ft - ff) if (ft is not None and ff is not None) \
+        else None
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(rep, f, indent=1)
+    return rep
+
+
 if __name__ == "__main__":
     import sys
 
     out = sys.argv[1] if len(sys.argv) > 1 else None
-    rep = run_overlap_check(out)
+    if "--ab" in sys.argv:
+        rep = run_overlap_ab(None if out == "--ab" else out)
+    else:
+        rep = run_overlap_check(out)
     print(json.dumps(rep, indent=1))

@@ -379,10 +379,19 @@ def _stencil_call(band_t, x_pad, b, omega, npts, pads, mode, interpret,
 # v1's 68%, the cache fill + reload traffic ate the shift savings).
 
 
+# Depth of the manual band-slab prefetch queue (v2): slab for step s+D is
+# issued at the end of step s, so each 3.2 MB fetch gets ~D steps of chunk
+# compute (~4.6 µs each at 128³ p3) to complete off the critical path.
+# Round 3 measured the Pallas BlockSpec auto-pipeline leaving ~1.5 ms of
+# band DMA unhidden at these shapes (BASELINE.md round-3 ladder); the
+# manual queue is the fix (VERDICT.md round-3 ask #1).
+_BAND_DEPTH = 3
+
+
 def _choose_tiles_v2(npts, pads, itemsize):
     """(t0, t2, 128): leading dim tiled at 8 planes (plane reuse), lane
-    pinned to one native tile, t2 sized to a ~12 MB VMEM budget counting
-    the double-buffered band block, the w2 double-buffered halo windows
+    pinned to one native tile, t2 sized to a ~14 MB VMEM budget counting
+    the D-deep manual band-slab queue, the w2 double-buffered halo windows
     and the output/vector blocks; then shrunk to the smallest tile keeping
     the same tile count (grid padding is wasted band stream)."""
     w2, w3 = 2 * pads[1] + 1, 2 * pads[2] + 1
@@ -390,9 +399,9 @@ def _choose_tiles_v2(npts, pads, itemsize):
     t0 = 8 if npts[0] >= 8 else 1
     nq = t0 + 2 * pads[0]
     t3w = _rup(t3 + 2 * pads[2], _LANE)
-    budget = 12 * 1024 * 1024
-    per_t2 = itemsize * (2 * w2 * w3 * t0 * t3 + 2 * w2 * nq * t3w
-                         + 4 * t0 * t3)
+    budget = 14 * 1024 * 1024
+    per_t2 = itemsize * (_BAND_DEPTH * w2 * w3 * t0 * t3
+                         + 2 * w2 * nq * t3w + 4 * t0 * t3)
     t2 = budget // per_t2
     t2 = max(_SUB, min((t2 // _SUB) * _SUB, 256))
     n_tiles = _cdiv(npts[1], t2)
@@ -451,14 +460,57 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
                        pl.ds(ids[2] * t3, win[2])]
         return pltpu.make_async_copy(src, xw.at[slot, k2], sem.at[slot, k2])
 
-    def body_common(k, x_hbm, band_ref, xw, sem, out_ref):
+    D = _BAND_DEPTH
+    n_steps = n_tiles * kc
+
+    def band_copy(s, bw, bsem, band_hbm, frac=1):
+        """Async copy of step ``s``'s contiguous (S, t3) band slab from the
+        pre-blocked HBM band into queue slot ``s % D``.  The slab dims are
+        the tiled (sublane, lane) dims and always start at 0; the dynamic
+        indices land on the untiled leading dims — no divisibility proof
+        needed (contrast window_copy's sublane-start constraint).
+        ``frac`` > 1 copies only the leading S/frac rows (timing-only
+        'halfdma' ablation: keeps wait/issue counts and compute identical
+        while cutting band HBM traffic)."""
+        kq = jax.lax.rem(s, jnp.int32(kc))
+        tq = s // kc
+        slot = jax.lax.rem(s, jnp.int32(D))
+        S = bw.shape[1]
+        if frac > 1:
+            return pltpu.make_async_copy(
+                band_hbm.at[kq, tq, pl.ds(0, S // frac)],
+                bw.at[slot, pl.ds(0, S // frac)], bsem.at[slot])
+        return pltpu.make_async_copy(band_hbm.at[kq, tq], bw.at[slot],
+                                     bsem.at[slot])
+
+    def body_common(k, x_hbm, band_hbm, xw, sem, bw, bsem, out_ref):
         """One k1 chunk: per output plane i1, accumulate the (2p+1)² MACs
-        against pre-shifted windows.  Double-buffered across tiles exactly
-        like v1 (wait this tile's w2 copies, immediately start the next
-        tile's)."""
+        against pre-shifted windows.  The halo windows are double-buffered
+        across tiles exactly like v1 (wait this tile's w2 copies,
+        immediately start the next tile's); the band slab rides a D-deep
+        MANUAL prefetch queue over grid steps — the BlockSpec auto-pipeline
+        left ~1.5 ms of band DMA unhidden at 128³ p3 (round-3 ladder), so
+        the band never touches the auto-pipeline."""
         ids = [pl.program_id(a) for a in range(3)]
         t_lin = (ids[0] * GJ + ids[1]) * GL + ids[2]
         slot = jax.lax.rem(t_lin, jnp.int32(2))
+        s = t_lin * kc + k
+
+        # timing-only ablations (results intentionally WRONG): "nolane"
+        # pins the lane offset, "staticq" the window plane index,
+        # "bandreuse" pins the band to step 0's slab (~zero band HBM
+        # traffic) — they isolate operand-read / band-DMA cost components
+        import os
+
+        _abl = os.environ.get("POMS_V2_ABLATE", "")
+        _reuse = "bandreuse" in _abl
+        _frac = 2 if "halfdma" in _abl else 1
+
+        @pl.when(s == 0)
+        def _():
+            for d in range(1 if _reuse else min(D, n_steps)):
+                band_copy(jnp.int32(d), bw, bsem, band_hbm,
+                          frac=_frac).start()
 
         @pl.when(k == 0)
         def _():
@@ -480,13 +532,15 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
                     window_copy((i2, j2, l2), k2, xw, sem, 1 - slot,
                                 x_hbm).start()
 
-        # timing-only ablations (results intentionally WRONG): "nolane"
-        # pins the lane offset, "staticq" the window plane index — they
-        # isolate the operand-read cost components (measured: nolane is
-        # within noise of the full kernel, so lane rotates are free here)
-        import os
+        if _reuse:
+            @pl.when(s == 0)
+            def _():
+                band_copy(jnp.int32(0), bw, bsem, band_hbm).wait()
+            slot_b = jnp.int32(0)
+        else:
+            band_copy(s, bw, bsem, band_hbm, frac=_frac).wait()
+            slot_b = jax.lax.rem(s, jnp.int32(D))
 
-        _abl = os.environ.get("POMS_V2_ABLATE", "")
         for i1 in range(t0):
             # one live accumulator at a time; each output plane is folded
             # into out_ref the moment its (2p+1)² terms are summed (t0
@@ -494,16 +548,20 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
             # file across the whole chunk)
             acc = None
             for k2 in range(w2):
+                q = i1 if "staticq" in _abl else k + i1
                 for k3 in range(w3):
                     # blocked band (see _stencil_call_v2): each grid step's
                     # slab is contiguous in HBM and every coeff read is a
-                    # static aligned (t2, t3) slice
+                    # static aligned (t2, t3) slice.  Round-4 measured
+                    # A/B: hoisting one wide (t2, t3w) window read per
+                    # (k2, q) and slicing it in-register is SLOWER
+                    # (5.60 ms vs 5.47 ms at 128³ p3) — the per-term ref
+                    # read with static lane offset is the faster form.
                     off = ((k2 * w3 + k3) * t0 + i1) * t2
-                    coeff = band_ref[0, 0, pl.ds(off, t2), :]
-                    q = i1 if "staticq" in _abl else k + i1
+                    coeff = bw[slot_b, pl.ds(off, t2), :]
                     k3e = 0 if "nolane" in _abl else k3
                     opnd = xw[slot, k2, q, :,
-                              pl.ds(k3e, t3)]                # lane rotate
+                              pl.ds(k3e, t3)]              # lane rotate
                     term = coeff * opnd
                     acc = term if acc is None else acc + term
 
@@ -514,6 +572,15 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
             @pl.when(k > 0)
             def _(i1=i1, acc=acc):
                 out_ref[i1] = out_ref[i1] + acc
+
+        # issue step s+D's slab AFTER the compute loop: slot s % D has just
+        # been fully read, so the overwrite is safe, and the fetch gets D
+        # steps of compute to hide under
+        if not _reuse:
+            @pl.when(s + D < n_steps)
+            def _():
+                band_copy(s + jnp.int32(D), bw, bsem, band_hbm,
+                          frac=_frac).start()
         return slot
 
     def center_plane(xw, slot, i1):
@@ -522,13 +589,13 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
         return xw[slot, p1, i1 + p0, :, pl.ds(p2, t3)]
 
     if mode in ("spmv", "residual"):
-        def kernel(x_hbm, band_ref, *rest):
+        def kernel(x_hbm, band_hbm, *rest):
             if mode == "spmv":
-                out_ref, xw, sem = rest
+                out_ref, xw, sem, bw, bsem = rest
             else:
-                b_ref, out_ref, xw, sem = rest
+                b_ref, out_ref, xw, sem, bw, bsem = rest
             k = pl.program_id(3)
-            body_common(k, x_hbm, band_ref, xw, sem, out_ref)
+            body_common(k, x_hbm, band_hbm, xw, sem, bw, bsem, out_ref)
 
             if mode == "residual":
                 @pl.when(k == kc - 1)
@@ -537,10 +604,11 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
         return kernel
 
     if mode == "jacobi":
-        def kernel(omega_ref, x_hbm, band_ref, b_ref, diag_ref, *rest):
-            out_ref, xw, sem = rest
+        def kernel(omega_ref, x_hbm, band_hbm, b_ref, diag_ref, *rest):
+            out_ref, xw, sem, bw, bsem = rest
             k = pl.program_id(3)
-            slot = body_common(k, x_hbm, band_ref, xw, sem, out_ref)
+            slot = body_common(k, x_hbm, band_hbm, xw, sem, bw, bsem,
+                               out_ref)
 
             @pl.when(k == kc - 1)
             def _():
@@ -554,12 +622,12 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
     # rbgs color phase — same parity convention as v1 (module docstring)
     _, color, pcoef = mode
 
-    def kernel(omega_ref, pbase_ref, x_hbm, band_ref, b_ref, diag_ref,
+    def kernel(omega_ref, pbase_ref, x_hbm, band_hbm, b_ref, diag_ref,
                *rest):
-        out_ref, xw, sem = rest
+        out_ref, xw, sem, bw, bsem = rest
         k = pl.program_id(3)
         ids = [pl.program_id(a) for a in range(3)]
-        slot = body_common(k, x_hbm, band_ref, xw, sem, out_ref)
+        slot = body_common(k, x_hbm, band_hbm, xw, sem, bw, bsem, out_ref)
 
         base = (pbase_ref[0]
                 + pcoef[0] * ids[0] * t0
@@ -637,11 +705,17 @@ def _stencil_call_v2(band_t, x_pad, b, omega, npts, pads, mode, interpret,
     w2, w3 = 2 * pads[1] + 1, 2 * pads[2] + 1
     if packed is None:
         packed = pack_band_v2(band_t, npts, pads)
-    else:
-        assert packed["npts"] == tuple(npts) and packed["pads"] == tuple(pads)
+    elif (packed["npts"] != tuple(npts) or packed["pads"] != tuple(pads)):
+        # hard error (not assert: stripped under -O, and a mismatched pack
+        # silently produces garbage output)
+        raise ValueError(
+            f"packed band was built for npts={packed['npts']} "
+            f"pads={packed['pads']}, called with npts={tuple(npts)} "
+            f"pads={tuple(pads)}")
     tile = packed["tile"]
     _, x_pad, b, N = _pad_operands_v2(None, x_pad, b, npts, pads, tile)
-    assert N == packed["N"]
+    if N != packed["N"]:
+        raise ValueError(f"packed band N={packed['N']} != computed N={N}")
     win = _window_v2(tile, pads)
     # Pre-shifted HBM stack: xs[k2, i, j, l] = x_pad[i, j + k2, l].  One
     # cheap XLA pass (~5% of band traffic at 128³ p3) that moves the
@@ -659,27 +733,33 @@ def _stencil_call_v2(band_t, x_pad, b, omega, npts, pads, mode, interpret,
 
     import os as _os
 
-    if "bandreuse" in _os.environ.get("POMS_V2_ABLATE", ""):
-        # timing-only ablation: pin the band to block 0 → ~zero band HBM
-        # traffic after the first step; separates band-DMA-bound from
-        # compute-bound (results intentionally wrong)
-        band_imap = lambda i, j, l, k, *_: (0, 0, 0, 0)
-    else:
-        band_imap = lambda i, j, l, k, *_: (k, (i * GJ + j) * GL + l, 0, 0)
-    band_spec = pl.BlockSpec(
-        (1, 1, S, t3), band_imap,
-        memory_space=pltpu.VMEM)
+    if _os.environ.get("POMS_V2_ABLATE", ""):
+        # ablation flags intentionally produce WRONG results; a stale env
+        # var in a long-lived process would silently corrupt production v2
+        # output, so be loud about it (ADVICE r3)
+        import warnings
+
+        warnings.warn(
+            "POMS_V2_ABLATE is set — v2 Pallas results are intentionally "
+            "WRONG (timing-only ablation mode)", stacklevel=2)
+    # band stays whole-array in HBM: the kernel DMAs each grid step's
+    # contiguous (S, t3) slab through a _BAND_DEPTH-deep manual prefetch
+    # queue (see _make_kernel_v2.band_copy) — the BlockSpec auto-pipeline
+    # measurably failed to hide the 3.2 MB/step fetch (round-3 ladder)
+    band_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     vec_spec = pl.BlockSpec(tile,
                             lambda i, j, l, k, *_: (i, j, l),
                             memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     scratch = [pltpu.VMEM((2, w2) + win, dtype),
-               pltpu.SemaphoreType.DMA((2, w2))]
+               pltpu.SemaphoreType.DMA((2, w2)),
+               pltpu.VMEM((_BAND_DEPTH, S, t3), dtype),
+               pltpu.SemaphoreType.DMA((_BAND_DEPTH,))]
     out_shape = jax.ShapeDtypeStruct(N, dtype)
     kernel = _make_kernel_v2(tile, pads, mode, win, kc, grid[:3])
-    # the k1 dim revisits the output block (reduction); spatial dims are
-    # independent — telling Mosaic lets it pipeline the per-step band-slab
-    # fetch more aggressively
+    # all dims 'arbitrary': the manual double-buffered window DMA and the
+    # band prefetch queue both assume the sequential t_lin/step order, so
+    # no dim may be declared 'parallel'
     cparams = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary", "arbitrary",
                              "arbitrary"))

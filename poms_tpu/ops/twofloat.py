@@ -11,8 +11,10 @@ double-word arithmetic", ACM TOMS 2017) — on f32 pairs ``(hi, lo)`` with
 ``hi + lo`` representing a ~48-bit-mantissa value (|lo| ≤ ulp(hi)/2).
 
 All functions are elementwise jnp code: on TPU they compile to plain VPU
-f32 ops (no f64 emulation anywhere), and XLA's FMA contraction, if it
-fires, *improves* two_prod (fma(a, b, -a·b) is the exact product residue).
+f32 ops (no f64 emulation anywhere).  XLA fma contraction is a measured
+HAZARD for EFTs, not a help — see the compiler-safety note below: the
+toolbox is written in the contraction-immune exact-partial-products form
+so any contraction the compiler applies is value-preserving.
 
 The headline use is :func:`residual_kron_df`: r = b − A·x for a
 Kronecker-sum operator with everything carried in double-word f32 —

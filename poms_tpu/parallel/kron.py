@@ -97,16 +97,54 @@ def _axis_contract(band_glob: jnp.ndarray, x_pad: jnp.ndarray, a: int,
 
 def dist_kron_apply(bands_by_axis: Sequence[Sequence[jnp.ndarray]],
                     labels: Sequence[Sequence[int]],
-                    x_loc: jnp.ndarray, spec: HaloSpec) -> jnp.ndarray:
+                    x_loc: jnp.ndarray, spec: HaloSpec,
+                    fused: bool = True) -> jnp.ndarray:
     """(Σ_r ⊗_a B^(a)_{labels[a][r]})·x on a local block inside shard_map.
 
     ``bands_by_axis[a]``: the DISTINCT padded global 1D bands of axis a
     (replicated; (N_a, 2p_a+1) each).  ``labels[a][r]`` picks the band of
     term r — the same static sharing structure as
     KroneckerSumOperator._band_labels, so sharded ≡ serial term-for-term.
+
+    ``fused=True`` (default; VERDICT r3 ask #8): ONE multi-dim halo
+    exchange of x up front, pads carried through the axis contractions —
+    d ppermute pairs per apply instead of one exchange round per distinct
+    partial per axis (3D Poisson: 1 fused round vs 5 per-axis rounds; the
+    RB-GS sweep drops from 10 exchange rounds to 2).  Cost: contractions
+    of the earlier axes run over the still-padded extents of later dims
+    (~(1 + 2p/n_loc)^(d−1) extra FLOPs — noise at production block sizes).
+    Bitwise-identical output (same per-point contraction order).
     """
     d = x_loc.ndim
     n_terms = len(labels[0])
+    if fused:
+        # ONE multi-dim exchange; partials stay halo-padded on dims < a
+        # while axis a is contracted.  A padded halo row of dim b < a is
+        # the dim-b NEIGHBOR's interior (corners filled by the sequential
+        # per-dim exchange), the neighbor shares this device's dim-a block
+        # range (outer-product mesh), and the 1D contraction acts
+        # independently per row with the replicated global band — so the
+        # contracted partial's halo rows equal exactly what a fresh
+        # exchange of the contracted partial would deliver.
+        from poms_tpu.parallel.halo import pad_and_exchange
+
+        x_pad = pad_and_exchange(x_loc, spec)
+        partials = {r: x_pad for r in range(n_terms)}
+        hist = {r: () for r in range(n_terms)}
+        for a in range(d - 1, -1, -1):
+            cache = {}   # one contraction per distinct (history, band)
+            for r in range(n_terms):
+                key = hist[r] + (labels[a][r],)
+                if key not in cache:
+                    cache[key] = _axis_contract(
+                        bands_by_axis[a][labels[a][r]], partials[r], a,
+                        spec.axes[a])
+                partials[r] = cache[key]
+                hist[r] = key
+        out = None
+        for r in range(n_terms):
+            out = partials[r] if out is None else out + partials[r]
+        return out
     partials = {r: x_loc for r in range(n_terms)}
     hist = {r: () for r in range(n_terms)}
     for a in range(d - 1, -1, -1):
@@ -130,7 +168,9 @@ def dist_kron_apply(bands_by_axis: Sequence[Sequence[jnp.ndarray]],
 
 
 def _axis_contract_df(band_df_glob, xph, xpl, a: int, ax: AxisSpec):
-    """Double-word twin of _axis_contract (both operands dw pairs)."""
+    """Double-word twin of _axis_contract (both operands dw pairs; like it,
+    extent-agnostic in the non-contracted dims, so it serves both the
+    fused (padded partials) and per-axis forms)."""
     from poms_tpu.ops.twofloat import dw_add, dw_mul
 
     Bh_g, Bl_g = band_df_glob
@@ -159,7 +199,7 @@ def _axis_contract_df(band_df_glob, xph, xpl, a: int, ax: AxisSpec):
 
 
 def dist_kron_residual_df(bands_df_by_axis, labels, bh, bl, xh, xl,
-                          spec: HaloSpec):
+                          spec: HaloSpec, fused: bool = True):
     """r = b − A·x in double-word f32 on a local block inside shard_map —
     the distributed twin of ops/twofloat.py::residual_kron_df (VERDICT r2
     ask #3, distributed half): the sharded defect-correction outer loop
@@ -168,30 +208,55 @@ def dist_kron_residual_df(bands_df_by_axis, labels, bh, bl, xh, xl,
 
     ``bands_df_by_axis[a]``: tuple of (hi, lo) f32 pairs of the distinct
     padded global 1D bands of axis a.
+
+    ``fused=True``: one up-front multi-dim exchange of (xh, xl) instead of
+    per-axis per-partial exchanges — same scheme (and same correctness
+    argument) as :func:`dist_kron_apply`; 2 exchange rounds per residual
+    instead of 10 for 3D Poisson.
     """
     from poms_tpu.ops.twofloat import dw_add
 
     d = xh.ndim
     n_terms = len(labels[0])
-    partials = {r: (xh, xl) for r in range(n_terms)}
-    hist = {r: () for r in range(n_terms)}
-    for a in range(d - 1, -1, -1):
-        ax = spec.axes[a]
-        ex_cache = {}
-        cache = {}
-        for r in range(n_terms):
-            hkey = hist[r]
-            if hkey not in ex_cache:
-                ph, plo = partials[r]
-                ex_cache[hkey] = (exchange_axis(ph, a, ax),
-                                  exchange_axis(plo, a, ax))
-            key = hkey + (labels[a][r],)
-            if key not in cache:
-                xph, xpl = ex_cache[hkey]
-                cache[key] = _axis_contract_df(
-                    bands_df_by_axis[a][labels[a][r]], xph, xpl, a, ax)
-            partials[r] = cache[key]
-            hist[r] = key
+    if fused:
+        from poms_tpu.parallel.halo import pad_and_exchange
+
+        xph = pad_and_exchange(xh, spec)
+        xpl = pad_and_exchange(xl, spec)
+        partials = {r: (xph, xpl) for r in range(n_terms)}
+        hist = {r: () for r in range(n_terms)}
+        for a in range(d - 1, -1, -1):
+            cache = {}
+            for r in range(n_terms):
+                key = hist[r] + (labels[a][r],)
+                if key not in cache:
+                    ph, plo = partials[r]
+                    cache[key] = _axis_contract_df(
+                        bands_df_by_axis[a][labels[a][r]], ph, plo, a,
+                        spec.axes[a])
+                partials[r] = cache[key]
+                hist[r] = key
+    else:
+        partials = {r: (xh, xl) for r in range(n_terms)}
+        hist = {r: () for r in range(n_terms)}
+        for a in range(d - 1, -1, -1):
+            ax = spec.axes[a]
+            ex_cache = {}
+            cache = {}
+            for r in range(n_terms):
+                hkey = hist[r]
+                if hkey not in ex_cache:
+                    ph, plo = partials[r]
+                    ex_cache[hkey] = (exchange_axis(ph, a, ax),
+                                      exchange_axis(plo, a, ax))
+                key = hkey + (labels[a][r],)
+                if key not in cache:
+                    xph_r, xpl_r = ex_cache[hkey]
+                    cache[key] = _axis_contract_df(
+                        bands_df_by_axis[a][labels[a][r]], xph_r, xpl_r,
+                        a, ax)
+                partials[r] = cache[key]
+                hist[r] = key
     axh = axl = None
     for r in range(n_terms):
         ph, plo = partials[r]

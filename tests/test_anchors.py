@@ -20,6 +20,8 @@ paths to roundoff, and be grid-independent.
 """
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the default fast selection
 import scipy.sparse as sps
 
 import jax.numpy as jnp

@@ -202,3 +202,88 @@ def test_dist_fmg_kron():
                          operator="kron")
     res = dist.solve(tol=1e-10, maxiter=40, use_fmg=True)
     assert res.converged
+
+
+def test_dist_solve_compiled_matches_host_loop():
+    """DistributedMG.solve_compiled (lax.while_loop around the shard_map
+    step) ≡ solve (host loop) for the plain and the mixed-twofloat
+    configurations (VERDICT r3 ask #4)."""
+    cfg = CycleConfig(nu1=2, nu2=2,
+                      smoother=SmootherConfig(kind="jacobi", omega=0.8))
+    prob = poisson_problem(2, 16, degree=2, operator="kron")
+    dist = DistributedMG(prob, num_levels=2, mesh_shape=(2, 2), cfg=cfg,
+                         operator="kron")
+    res = dist.solve(tol=1e-10, maxiter=60)
+    assert res.converged
+    x, rn, it = dist.solve_compiled(tol=1e-10, maxiter=60)
+    assert int(it) == res.iterations
+    assert float(rn) <= 1e-10
+    np.testing.assert_allclose(np.asarray(x.interior),
+                               np.asarray(res.x.interior),
+                               rtol=0, atol=1e-13)
+
+
+def test_dist_solve_compiled_twofloat():
+    cfg = CycleConfig(nu1=2, nu2=2,
+                      smoother=SmootherConfig(kind="rbgs", omega=1.0))
+    prob = poisson_problem(2, 16, degree=2, operator="kron",
+                           dtype=jnp.float64)
+    dist = DistributedMG(prob, num_levels=2, mesh_shape=(2, 2), cfg=cfg,
+                         operator="kron", mixed=True,
+                         mixed_residual="twofloat")
+    res = dist.solve(tol=1e-10, maxiter=60)
+    assert res.converged
+    x, rn, it = dist.solve_compiled(tol=1e-10, maxiter=60)
+    assert int(it) == res.iterations
+    assert float(rn) <= 1e-10
+    np.testing.assert_allclose(np.asarray(x.interior),
+                               np.asarray(res.x.interior),
+                               rtol=0, atol=1e-13)
+
+
+def test_dist_kron_fused_exchange_fewer_collectives():
+    """The fused-exchange apply (VERDICT r3 ask #8): bit-identical output
+    to the per-axis-exchange form AND visibly fewer ppermutes in the
+    jaxpr (3D Poisson sharing: 1 exchange round instead of 5)."""
+    npts, p = (16, 8), 2
+    mesh_shape = (4, 2)
+    A = _random_kron(npts, p)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(npts))
+    names = ("ax0", "ax1")
+    mesh = jax.make_mesh(mesh_shape, names)
+    n_loc = tuple(npts[a] // mesh_shape[a] for a in range(2))
+    spec = HaloSpec.build(names, mesh_shape, n_loc, (p, p), (False, False))
+    labels = A._band_labels()
+    by_axis = []
+    for a in range(2):
+        distinct = [None] * (max(labels[a]) + 1)
+        for r, term in enumerate(A.terms):
+            distinct[labels[a][r]] = term[a]
+        by_axis.append(tuple(jnp.asarray(B) for B in distinct))
+    bands = tuple(by_axis)
+
+    from jax.sharding import PartitionSpec as P
+
+    def count_ppermutes(fused):
+        fn = jax.shard_map(
+            lambda bl, xl: dist_kron_apply(bl, labels, xl, spec,
+                                           fused=fused),
+            mesh=mesh, in_specs=(P(), P(*names)), out_specs=P(*names))
+        jaxpr = str(jax.make_jaxpr(fn)(bands, x))
+        return jaxpr.count("ppermute")
+
+    f_fused = jax.jit(jax.shard_map(
+        lambda bl, xl: dist_kron_apply(bl, labels, xl, spec, fused=True),
+        mesh=mesh, in_specs=(P(), P(*names)), out_specs=P(*names)))
+    f_sep = jax.jit(jax.shard_map(
+        lambda bl, xl: dist_kron_apply(bl, labels, xl, spec, fused=False),
+        mesh=mesh, in_specs=(P(), P(*names)), out_specs=P(*names)))
+    y_f = np.asarray(f_fused(bands, x))
+    y_s = np.asarray(f_sep(bands, x))
+    np.testing.assert_array_equal(y_f, y_s)
+    n_f, n_s = count_ppermutes(True), count_ppermutes(False)
+    # 2D with sharing: fused = 1 round (2 ppermute pairs); per-axis =
+    # 1 + 2 partial exchanges (each with its pair)
+    assert n_f < n_s, (n_f, n_s)
+    assert n_f == 4  # 2 dims x (fwd + bwd)

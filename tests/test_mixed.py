@@ -123,3 +123,34 @@ def test_twofloat_auto_and_guard():
     with pytest.raises(ValueError):
         MixedPrecisionMG(poisson_problem(1, 16, degree=2), num_levels=2,
                          residual="twofloat")
+
+
+def test_solve_compiled_matches_host_loop():
+    """solve_compiled (lax.while_loop, one dispatch) ≡ solve (host loop) —
+    same iteration count, same solution, tolerance reached (VERDICT r3
+    ask #4)."""
+    prob = poisson_problem(2, 16, degree=2, operator="kron")
+    cfg = _cfg()
+    mg = MixedPrecisionMG(prob, num_levels=2, cfg=cfg, operator="kron",
+                          residual="twofloat")
+    res = mg.solve(tol=1e-10, maxiter=60)
+    assert res.converged
+    x, rn, it = mg.solve_compiled(tol=1e-10, maxiter=60)
+    assert int(it) == res.iterations
+    assert float(rn) <= 1e-10
+    np.testing.assert_allclose(np.asarray(x.interior),
+                               np.asarray(res.x.interior),
+                               rtol=0, atol=1e-13)
+
+
+def test_solve_compiled_f64_mode():
+    prob = poisson_problem(2, 16, degree=2)
+    mg = MixedPrecisionMG(prob, num_levels=2, cfg=_cfg())
+    res = mg.solve(tol=1e-10, maxiter=60)
+    assert res.converged
+    x, rn, it = mg.solve_compiled(tol=1e-10, maxiter=60)
+    assert int(it) == res.iterations
+    assert float(rn) <= 1e-10
+    np.testing.assert_allclose(np.asarray(x.interior),
+                               np.asarray(res.x.interior),
+                               rtol=0, atol=1e-13)

@@ -15,6 +15,10 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the default fast selection
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 
 

@@ -25,13 +25,21 @@ CASES = [
 @pytest.fixture(params=["v1", "v2"], autouse=True)
 def engine(request, monkeypatch):
     """Run every kernel parity test under BOTH engines (ops/pallas/spmv.py:
-    v1 = round-2 chunked kernel, v2 = DMA-shifted-window production
-    kernel)."""
-    if request.param == "v1":
-        monkeypatch.setenv("POMS_TPU_SPMV", "v1")
-    else:
-        monkeypatch.delenv("POMS_TPU_SPMV", raising=False)
+    v1 = round-2 chunked kernel, v2 = DMA-shifted-window + manual
+    band-prefetch kernel).  Round-3 bug (VERDICT r3 weak #1): the v2 leg
+    used delenv, which selects the v1 default — v2 was never exercised."""
+    monkeypatch.setenv("POMS_TPU_SPMV", request.param)
     return request.param
+
+
+def test_engine_fixture_selects_v2(engine):
+    """Guard against the round-3 fixture inversion: assert the fixture
+    actually switches the dispatched engine."""
+    from poms_tpu.ops.pallas.spmv import (_engine, _stencil_call,
+                                          _stencil_call_v2)
+
+    expected = _stencil_call_v2 if engine == "v2" else _stencil_call
+    assert _engine() is expected
 
 
 def _setup(npts, p, seed=0, dtype=jnp.float32):

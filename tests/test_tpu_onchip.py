@@ -16,6 +16,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the default fast selection
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 
 _WORKER = r"""
