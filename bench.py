@@ -134,10 +134,9 @@ def main():
         # same-session achieved GB/s over the streaming probes, which now
         # include NON-Pallas plain-XLA streams (xlastream: read+reduce over
         # band-sized data; xlastreamrw: elementwise read+write), not just
-        # the Pallas-pipelined streamfloor.  Round-4 measured all probes at
-        # 539-575 GB/s on this chip (the only thing faster is a pure DMA
-        # with no VPU consumption, 824 GB/s) — see BASELINE.md round-4
-        # section for the full evidence ladder.
+        # the Pallas-pipelined streamfloor.  Round 4 (with the K/2K timing
+        # fix) measures the consuming-stream ceiling at ~763 GB/s (93% of
+        # spec) and v1 at 98% of it — BASELINE.md round-4 ladder.
         "measured_stream_ceiling_gbps": (max(
             (round(results[p]["gbytes_per_s"], 1)
              for p in _PROBES if p in results), default=None)),

@@ -15,6 +15,7 @@ def main():
     n = int(sys.argv[3])
     degree = int(sys.argv[4])
     iters = int(sys.argv[5]) if len(sys.argv) > 5 else 20
+    dtype_s = sys.argv[6] if len(sys.argv) > 6 else "f32"
 
     import jax.numpy as jnp
 
@@ -23,7 +24,8 @@ def main():
 
     _enable_persistent_cache()
 
-    r = bench_spmv((n,) * d, degree=degree, dtype=jnp.float32, iters=iters,
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_s]
+    r = bench_spmv((n,) * d, degree=degree, dtype=dtype, iters=iters,
                    impl=impl)
     print("RESULT " + json.dumps({
         "name": r.name, "wall_s": r.wall_s, "gbytes_per_s": r.gbytes_per_s,

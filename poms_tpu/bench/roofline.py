@@ -77,25 +77,38 @@ def time_step_loop(step, x0, consts=(), iters: int = 20) -> float:
     def stage(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    @jax.jit
-    def run(x, *cs):
-        return jax.lax.fori_loop(0, iters, lambda i, xx: step(xx, *cs), x)
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(x, n, *cs):
+        return jax.lax.fori_loop(0, n, lambda i, xx: step(xx, *cs), x)
 
     def fetch(out):
         leaf = jax.tree.leaves(out)[0]
         return float(jnp.sum(leaf))     # one scalar fetch forces completion
 
     stage("compile+warm start")
-    fetch(run(x0, *consts))             # compile + warm (single executable)
+    fetch(run(x0, iters, *consts))      # compile + warm
+    fetch(run(x0, 2 * iters, *consts))
     stage("compile+warm done")
-    best = float("inf")
-    for rep in range(2):
+    best_k = best_2k = float("inf")
+    for rep in range(3):
         t0 = time.perf_counter()
-        fetch(run(x0, *consts))
-        best = min(best, time.perf_counter() - t0)
-        stage(f"timed rep {rep}: {best:.4f}s for {iters} iters")
-    # fixed dispatch+fetch overhead is a few ms << iters * step time
-    return best / iters
+        fetch(run(x0, iters, *consts))
+        best_k = min(best_k, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fetch(run(x0, 2 * iters, *consts))
+        best_2k = min(best_2k, time.perf_counter() - t0)
+        stage(f"timed rep {rep}: K={best_k:.4f}s 2K={best_2k:.4f}s "
+              f"({iters} iters)")
+    # K/2K differencing cancels the fixed dispatch+fetch overhead (~24 ms
+    # per measurement through this machine's tunnel — it silently inflated
+    # every round-2/3 per-iter number by ~overhead/K).  When the diff
+    # drowns in tunnel variance (tiny kernels), fall back to the 2K run's
+    # per-iter time, which is an upper bound.
+    diff = (best_2k - best_k) / iters
+    floor = 0.25 * best_2k / (2 * iters)
+    return diff if diff > floor else best_2k / (2 * iters)
 
 
 def bench_spmv(npts, degree: int = 3, dtype=jnp.float32, iters: int = 20,
@@ -137,13 +150,12 @@ def bench_spmv(npts, degree: int = 3, dtype=jnp.float32, iters: int = 20,
         x0i = jnp.full(npts, 1e-3, dtype)
         wall = time_step_loop(step, x0i, iters=iters)
     elif impl == "streamfloor":
-        # Pallas-PIPELINE floor: contiguous band stream through the same
-        # BlockSpec auto-pipeline as the v1 kernel (one add per coefficient
-        # plane, no stencil work).  Round-3 overclaimed this as the chip's
-        # measured speed-of-light; it is NOT — it calibrates the Pallas
-        # auto-pipeline, and the plain-XLA ``xlastream`` probe below runs
-        # ~20% faster on the same chip (VERDICT r3 missing #1).  Kept as
-        # the auto-pipeline reference point.
+        # Pallas-pipeline band-stream probe: contiguous band stream through
+        # the same BlockSpec auto-pipeline as the v1 kernel (one add per
+        # coefficient plane, no stencil work).  With corrected K/2K timing
+        # it measures 762 GB/s — agreeing with the plain-XLA ``xlastream``
+        # (763): the Pallas pipeline was never the limiter; round-3's lower
+        # numbers were fixed dispatch overhead (BASELINE.md round-4).
         from poms_tpu.bench.kernel_probe import probe_stream
 
         if npts != (npts[0],) * len(npts) or jnp.dtype(dtype) != jnp.float32:
@@ -182,8 +194,9 @@ def bench_spmv(npts, degree: int = 3, dtype=jnp.float32, iters: int = 20,
         # x broadcast-read, y written), chained through the loop carry so
         # LICM cannot hoist the band read.  This is the honest "what the
         # chip can actually stream" number the banded kernels are judged
-        # against (the round-3 'measured ceiling' used the Pallas pipeline
-        # itself and under-read the chip by ~20%).
+        # against — measured 763 GB/s (93% of spec) round 4; it agrees with
+        # the Pallas streamc probe once the K/2K timing fix removed the
+        # ~24 ms/measurement tunnel overhead that poisoned rounds 2-3.
         @jax.jit
         def make_band():
             k = jax.random.PRNGKey(0)

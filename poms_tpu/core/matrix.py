@@ -56,11 +56,12 @@ class StencilMatrix:
     and :meth:`validate_boundary` checks it.
     """
 
-    __slots__ = ("space", "band_t")
+    __slots__ = ("space", "band_t", "_pk_arrays", "_pk_meta")
 
     def __init__(self, space: StencilVectorSpace,
                  band: jnp.ndarray | None = None, *,
-                 band_t: jnp.ndarray | None = None):
+                 band_t: jnp.ndarray | None = None,
+                 _pk_arrays=None, _pk_meta=None):
         self.space = space
         nd = space.ndim
         if band_t is not None:
@@ -70,6 +71,12 @@ class StencilMatrix:
         else:
             self.band_t = jnp.zeros(space.band_shape + space.npts,
                                     space.dtype)
+        # optional v2-engine pre-packed band (ensure_packed_v2): arrays
+        # ride the pytree so jitted solve loops see the ONE-TIME relayout
+        # as an input, never as traced per-apply work (measured 14.3 ms/
+        # apply when inlined — BASELINE.md round-3 notes)
+        self._pk_arrays = _pk_arrays
+        self._pk_meta = _pk_meta
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -97,11 +104,43 @@ class StencilMatrix:
         return _to_grid_major(self.band_t, self.space.ndim)
 
     # -- linear-operator interface -----------------------------------------
+    def ensure_packed_v2(self) -> "StencilMatrix":
+        """Pre-pack the band for the v2 Pallas engine (pack_band_v2) —
+        production plumbing for ``POMS_TPU_SPMV=v2`` (VERDICT r3 missing
+        #7): call at SETUP time (hierarchy build, hierarchy cast); no-op
+        unless the v2 engine is selected and usable, or under a trace
+        (packing inside jit would re-run the relayout per apply)."""
+        import os
+
+        if (os.environ.get("POMS_TPU_SPMV") != "v2"
+                or self.space.ndim != 3
+                or self._pk_arrays is not None
+                or not _ops.use_pallas(self.band_t.dtype, 3)
+                or isinstance(self.band_t, jax.core.Tracer)):
+            return self
+        from poms_tpu.ops.pallas.spmv import pack_band_v2
+
+        pk = pack_band_v2(self.band_t, self.space.npts, self.space.pads)
+        self._pk_arrays = (pk["blk"], pk["diag"])
+        self._pk_meta = (pk["tile"], pk["N"], pk["npts"], pk["pads"])
+        return self
+
+    @property
+    def packed_v2(self):
+        """The pack_band_v2 dict if :meth:`ensure_packed_v2` ran, else
+        None (dispatch treats None as 'no pre-pack')."""
+        if self._pk_arrays is None:
+            return None
+        blk, diag = self._pk_arrays
+        tile, N, npts, pads = self._pk_meta
+        return {"blk": blk, "diag": diag, "tile": tile, "N": N,
+                "npts": npts, "pads": pads}
+
     def dot(self, v: StencilVector) -> StencilVector:
         """y = A v. Refreshes ghosts, then the banded SpMV (SURVEY.md §3.4)."""
         vg = v.update_ghost_regions()
         out_int = _ops.spmv(self.band_t, vg.data, self.space.npts,
-                            self.space.pads)
+                            self.space.pads, packed=self.packed_v2)
         return StencilVector.from_interior(self.space, out_int)
 
     def __matmul__(self, v: StencilVector) -> StencilVector:
@@ -263,12 +302,14 @@ class StencilMatrix:
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
-        return (self.band_t,), self.space
+        return (self.band_t, self._pk_arrays), (self.space, self._pk_meta)
 
     @classmethod
-    def tree_unflatten(cls, space, children):
-        (band_t,) = children
-        return cls(space, band_t=band_t)
+    def tree_unflatten(cls, aux, children):
+        space, pk_meta = aux
+        band_t, pk_arrays = children
+        return cls(space, band_t=band_t, _pk_arrays=pk_arrays,
+                   _pk_meta=pk_meta)
 
     def __repr__(self):
         return (f"StencilMatrix(npts={self.space.npts}, "

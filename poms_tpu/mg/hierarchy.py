@@ -205,4 +205,10 @@ def build_hierarchy(problem: PoissonProblem, num_levels: int,
         A, n_el = A_c, n_el_c
     levels.append(Level(A=A, restrict=None, prolong=None,
                         chol=factor_dense_cholesky(A)))
+    for lev in levels:
+        # v2-engine setup hook (no-op unless POMS_TPU_SPMV=v2 on a usable
+        # backend): pack each banded level ONCE here so jitted cycles
+        # receive the relayout as an input (VERDICT r3 missing #7)
+        if hasattr(lev.A, "ensure_packed_v2"):
+            lev.A.ensure_packed_v2()
     return levels

@@ -52,6 +52,8 @@ def _cast_levels(levels, dtype):
         sp = lev.A.space.with_dtype(dtype)
         if hasattr(lev.A, "band_t"):
             A = type(lev.A)(sp, band_t=lev.A.band_t)
+            if hasattr(A, "ensure_packed_v2"):
+                A.ensure_packed_v2()   # v2-engine no-op hook (cast band)
         else:  # KroneckerSumOperator
             A = KroneckerSumOperator(sp, lev.A.terms)
         out.append(Level(A=A, restrict=lev.restrict, prolong=lev.prolong,
@@ -149,12 +151,16 @@ class MixedPrecisionMG:
             def step_tf(levels32, terms_df, xh, xl, rh, rl, bh, bl):
                 # one correction from the CURRENT residual, then the new
                 # residual — everything except two O(1) scalar ops is f32
+                # (or bf16 when low_dtype asks for it: the cycle runs in
+                # the low dtype, the EFT bookkeeping stays f32)
                 scale = dw_norm2(rh, rl)
                 safe32 = jnp.where(scale > 0, scale, 1.0).astype(jnp.float32)
-                r32 = StencilVector.from_interior(sp32, rh / safe32)
+                r32 = StencilVector.from_interior(
+                    sp32, (rh / safe32).astype(sp32.dtype))
                 e32 = cycle(levels32, 0, StencilVector.zeros(sp32), r32,
                             cfg, lams)
-                ch, cl = two_prod(e32.interior, safe32)   # exact e·safe
+                ch, cl = two_prod(e32.interior.astype(jnp.float32),
+                                  safe32)                 # exact e·safe
                 xh, xl = dw_add(xh, xl, ch, cl)
                 rh, rl = residual_kron_df(terms_df, bh, bl, xh, xl, pads,
                                           labels=labels)

@@ -124,7 +124,7 @@ def jacobi_step(A, x: StencilVector, b: StencilVector,
     if hasattr(A, "band_t"):  # banded stencil: fused (Pallas) path
         xg = x.update_ghost_regions()
         x_new = _ops.jacobi(A.band_t, xg.data, b.interior, omega, sp.npts,
-                            sp.pads)
+                            sp.pads, packed=getattr(A, "packed_v2", None))
         return StencilVector.from_interior(sp, x_new)
     # generic linear operator (e.g. KroneckerSumOperator)
     r = b.interior - A.dot(x).interior
@@ -143,7 +143,8 @@ def rbgs_step(A, x: StencilVector, b: StencilVector,
         for color in (0, 1):
             xg = x.update_ghost_regions()
             x_new = _ops.rbgs_color(A.band_t, xg.data, b.interior, omega,
-                                    color, sp.npts, sp.pads, starts)
+                                    color, sp.npts, sp.pads, starts,
+                                    packed=getattr(A, "packed_v2", None))
             x = StencilVector.from_interior(sp, x_new)
         return x
     diag = A.diagonal()

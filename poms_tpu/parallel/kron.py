@@ -276,13 +276,15 @@ def dist_dw_norm2(rh, rl, spec: HaloSpec):
     fl = rl.reshape(-1)
     sh, sl = dw_mul(fh, fl, fh, fl)
     while sh.shape[0] > 1:
+        # contiguous half-vs-half pairing — see ops/twofloat.py::dw_norm2
+        # (the even/odd pairing relayouts cost 62 ms/norm at 128³ on TPU)
         m = sh.shape[0]
         half = (m + 1) // 2
         pad = half * 2 - m
         if pad:
             sh = jnp.concatenate([sh, jnp.zeros((pad,), sh.dtype)])
             sl = jnp.concatenate([sl, jnp.zeros((pad,), sl.dtype)])
-        sh, sl = dw_add(sh[0::2], sl[0::2], sh[1::2], sl[1::2])
+        sh, sl = dw_add(sh[:half], sl[:half], sh[half:], sl[half:])
     local = sh[0].astype(jnp.float64) + sl[0].astype(jnp.float64)
     names = spec.names
     total = jax.lax.psum(local, names) if names else local

@@ -167,6 +167,7 @@ def test_multilevel_dist_rbgs():
                                rtol=1e-6, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_dist_chebyshev_and_wcycle_match_serial():
     prob = poisson_problem(2, 32, degree=3)
     cfg = CycleConfig(nu1=1, nu2=1, gamma=2,

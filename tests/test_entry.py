@@ -15,11 +15,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 import __graft_entry__ as entrymod  # noqa: E402
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8dev():
     """The exact function the driver runs, on the 8-virtual-device mesh."""
     entrymod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_without_preexisting_x64(monkeypatch):
     """dryrun must enable x64 ITSELF (the driver process never sets it)."""
     # simulate the driver: x64 off on entry

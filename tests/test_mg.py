@@ -163,6 +163,7 @@ def test_gs_lex_smoother_in_cycle():
     np.testing.assert_allclose(res.residuals, hist, rtol=1e-4, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_chebyshev_smoother_parity_and_speed():
     """Chebyshev(4) cycles: oracle parity, and MG-PCG wrapping handles the
     spline pathology (small-eigenvalue high-frequency modes stall plain

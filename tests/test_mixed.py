@@ -154,3 +154,29 @@ def test_solve_compiled_f64_mode():
     np.testing.assert_allclose(np.asarray(x.interior),
                                np.asarray(res.x.interior),
                                rtol=0, atol=1e-13)
+
+
+def test_bf16_inner_cycles_still_reach_1e10():
+    """bf16 smoother/cycle hierarchy inside the twofloat defect correction
+    (VERDICT r3 ask #6): the outer loop absorbs the inner-precision loss —
+    convergence to 1e-10 holds on configs 1-3, with a bounded iteration
+    penalty vs the f32 hierarchy."""
+    import jax.numpy as jnp
+
+    from poms_tpu.mg.smoother import SmootherConfig
+
+    for dim, n_el, p in [(1, 64, 3), (2, 32, 3), (3, 16, 2)]:
+        prob = poisson_problem(dim, n_el, degree=p, operator="kron")
+        cfg = CycleConfig(nu1=1, nu2=1,
+                          smoother=SmootherConfig("chebyshev",
+                                                  cheb_fraction=16.0))
+        its = {}
+        for lo in (jnp.float32, jnp.bfloat16):
+            mg = MixedPrecisionMG(prob, num_levels=2, cfg=cfg,
+                                  operator="kron", residual="twofloat",
+                                  low_dtype=lo)
+            res = mg.solve(tol=1e-10, maxiter=100)
+            assert res.converged, (dim, lo, res.residuals[-3:])
+            its[lo] = res.iterations
+        # measured this round: 7 -> 9/10; gate at 2x to stay robust
+        assert its[jnp.bfloat16] <= 2 * its[jnp.float32], its

@@ -18,7 +18,9 @@ CASES = [
     ((40, 140), 3),    # forces 2D tile padding
     ((8, 12, 20), 1),
     ((10, 9, 130), 2),
-    ((24, 18, 140), 3),  # v2: multiple t0=8 leading tiles + grid padding
+    # the big 3D case (multiple t0=8 leading tiles + grid padding) runs
+    # 15-50 s per param in interpret mode — slow tier only (pytest -m "")
+    pytest.param((24, 18, 140), 3, marks=pytest.mark.slow),
 ]
 
 
@@ -124,3 +126,45 @@ def test_jacobi_fused_interpret(npts, p):
     out = jacobi_fused_pallas(band, xpad, b, 0.7, npts, pads, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-5, atol=3e-6)
+
+
+def test_stencil_matrix_v2_pack_plumbing(monkeypatch):
+    """ensure_packed_v2 packs once at setup, survives the pytree
+    round-trip (so jitted loops receive it as an input), and the packed
+    apply matches the unpacked one (VERDICT r3 missing #7)."""
+    import jax
+
+    from poms_tpu.core.matrix import StencilMatrix
+    from poms_tpu.core.space import StencilVectorSpace
+    from poms_tpu.ops import dispatch as _d
+    from poms_tpu.ops.pallas.spmv import pack_band_v2
+
+    monkeypatch.setenv("POMS_TPU_SPMV", "v2")
+    monkeypatch.setattr(_d, "use_pallas", lambda *a, **k: True)
+    npts, p = (8, 12, 20), 1
+    rng = np.random.default_rng(5)
+    sp = StencilVectorSpace(npts=npts, pads=(p,) * 3, periodic=False,
+                            dtype=jnp.float32)
+    band_t = jnp.asarray(rng.standard_normal((3, 3, 3) + npts), jnp.float32)
+    A = StencilMatrix(sp, band_t=band_t)
+    assert A.packed_v2 is None
+    A.ensure_packed_v2()
+    pk = A.packed_v2
+    assert pk is not None
+    ref = pack_band_v2(band_t, npts, (p,) * 3)
+    assert pk["tile"] == ref["tile"] and pk["N"] == ref["N"]
+    np.testing.assert_array_equal(np.asarray(pk["blk"]),
+                                  np.asarray(ref["blk"]))
+    # pytree round-trip keeps the pack (flows through jit as an input)
+    leaves, treedef = jax.tree.flatten(A)
+    A2 = jax.tree.unflatten(treedef, leaves)
+    assert A2.packed_v2 is not None
+    assert A2.packed_v2["tile"] == pk["tile"]
+    # packed apply == unpacked apply (interpret mode)
+    xpad = jnp.asarray(
+        rng.standard_normal(tuple(n + 2 * p for n in npts)), jnp.float32)
+    out_ref = spmv_banded_pallas(band_t, xpad, npts, (p,) * 3,
+                                 interpret=True)
+    out_pk = spmv_banded_pallas(band_t, xpad, npts, (p,) * 3,
+                                interpret=True, packed=pk)
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_pk))
