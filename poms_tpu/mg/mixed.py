@@ -351,8 +351,49 @@ class MGPreconditionedCG:
             p = z_new.axpy(beta, p)
             return x, r_new, z_new, p, rz_new, r_new.norm()
 
+        self._step_raw = step
+        self._precond_raw = precond
         self._step = jax.jit(step)
         self._precond = jax.jit(precond)
+
+    def solve_compiled(self, b: Optional[StencilVector] = None,
+                       tol: float = 1e-10, maxiter: int = 100):
+        """Fully-jitted PCG solve (``lax.while_loop``) — one dispatch +
+        one scalar fetch per solve (VERDICT r3 ask #4, PCG leg).  Returns
+        ``(x, final_residual, iterations)``."""
+        b = b if b is not None else self.problem.b
+        key = (float(tol), int(maxiter))
+        cache = getattr(self, "_compiled_runners", None)
+        if cache is None:
+            cache = self._compiled_runners = {}
+        if key not in cache:
+            step = self._step_raw
+            precond = self._precond_raw
+            space = self.problem.space
+
+            @jax.jit
+            def run(levels, levels_pre, b):
+                x0 = StencilVector.zeros(space)
+                r0 = b
+                z0 = precond(levels_pre, r0)
+                rz0 = r0.dot(z0)
+                rn0 = r0.norm()
+
+                def cond(st):
+                    return jnp.logical_and(st[5] > tol, st[6] < maxiter)
+
+                def body(st):
+                    x, r, z, p, rz, _, it = st
+                    x, r, z, p, rz, rn = step(levels, levels_pre, x, r, z,
+                                              p, rz)
+                    return (x, r, z, p, rz, rn, it + 1)
+
+                st = jax.lax.while_loop(
+                    cond, body, (x0, r0, z0, z0, rz0, rn0, jnp.int32(0)))
+                return st[0], st[5], st[6]
+
+            cache[key] = run
+        return cache[key](self.levels, self.levels_pre, b)
 
     def solve(self, b: Optional[StencilVector] = None, tol: float = 1e-10,
               maxiter: int = 100, logger=None) -> SolveResult:

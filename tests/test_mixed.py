@@ -180,3 +180,16 @@ def test_bf16_inner_cycles_still_reach_1e10():
             its[lo] = res.iterations
         # measured this round: 7 -> 9/10; gate at 2x to stay robust
         assert its[jnp.bfloat16] <= 2 * its[jnp.float32], its
+
+
+def test_pcg_solve_compiled_matches_host_loop():
+    prob = poisson_problem(2, 16, degree=2)
+    pcg = MGPreconditionedCG(prob, num_levels=2, cfg=_cfg())
+    res = pcg.solve(tol=1e-10, maxiter=60)
+    assert res.converged
+    x, rn, it = pcg.solve_compiled(tol=1e-10, maxiter=60)
+    assert int(it) == res.iterations
+    assert float(rn) <= 1e-10
+    np.testing.assert_allclose(np.asarray(x.interior),
+                               np.asarray(res.x.interior),
+                               rtol=0, atol=1e-12)
