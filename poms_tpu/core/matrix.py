@@ -115,7 +115,8 @@ class StencilMatrix:
         if (os.environ.get("POMS_TPU_SPMV") != "v2"
                 or self.space.ndim != 3
                 or self._pk_arrays is not None
-                or not _ops.use_pallas(self.band_t.dtype, 3)
+                or not _ops.use_pallas(self.band_t.dtype, 3,
+                                       self.space.npts)
                 or isinstance(self.band_t, jax.core.Tracer)):
             return self
         from poms_tpu.ops.pallas.spmv import pack_band_v2

@@ -22,12 +22,14 @@ __all__ = ["use_pallas", "spmv", "residual", "jacobi", "rbgs_color"]
 _PALLAS_DTYPES = (jnp.dtype("float32"), jnp.dtype("bfloat16"))
 
 
-def use_pallas(dtype, ndim: int) -> bool:
+def use_pallas(dtype, ndim: int, npts=None) -> bool:
     """Pallas only where it measurably wins: the 3D 343-term stencil
     (v1: 91.5% of SoL at 128³ p3).  In 1D/2D XLA's own shifted-MAC fusion
     is the faster engine (measured round 4, corrected K/2K timing:
     2D 2048² p3 jnp 1.10 ms / 95.3% SoL vs Pallas 3.76 ms; 1D 2²⁰ jnp
-    23× faster) — the lifted Pallas paths remain available via
+    23× faster); likewise small 3D grids whose last dim underfills the
+    128-wide vector lanes (64³: Pallas 3.14 ms vs jnp ~2.3 ms — half the
+    lanes padded).  The lifted/small Pallas paths remain available via
     ``POMS_TPU_IMPL=pallas`` and stay parity-tested."""
     force = os.environ.get("POMS_TPU_IMPL")
     if force == "jnp":
@@ -35,14 +37,16 @@ def use_pallas(dtype, ndim: int) -> bool:
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if force == "pallas":
         return jnp.dtype(dtype) in _PALLAS_DTYPES and 1 <= ndim <= 3
-    return (on_tpu and jnp.dtype(dtype) in _PALLAS_DTYPES and ndim == 3)
+    lanes_ok = npts is None or npts[-1] >= 96
+    return (on_tpu and jnp.dtype(dtype) in _PALLAS_DTYPES and ndim == 3
+            and lanes_ok)
 
 
 def spmv(band_t, x_pad, npts, pads, packed=None):
     """``packed``: optional pack_band_v2 dict (v2 engine, 3D) — built once
     at operator setup (StencilMatrix.ensure_packed_v2) and threaded here so
     jitted loops never re-run the band relayout (VERDICT r3 missing #7)."""
-    if use_pallas(band_t.dtype, len(npts)):
+    if use_pallas(band_t.dtype, len(npts), npts):
         from poms_tpu.ops.pallas.spmv import spmv_banded_pallas
 
         return spmv_banded_pallas(band_t, x_pad, npts, pads, packed=packed)
@@ -51,7 +55,7 @@ def spmv(band_t, x_pad, npts, pads, packed=None):
 
 def residual(band_t, x_pad, b_int, npts, pads, packed=None):
     """r = b − A·x (fused on TPU)."""
-    if use_pallas(band_t.dtype, len(npts)):
+    if use_pallas(band_t.dtype, len(npts), npts):
         from poms_tpu.ops.pallas.spmv import residual_fused_pallas
 
         return residual_fused_pallas(band_t, x_pad, b_int, npts, pads,
@@ -61,7 +65,7 @@ def residual(band_t, x_pad, b_int, npts, pads, packed=None):
 
 def jacobi(band_t, x_pad, b_int, omega, npts, pads, packed=None):
     """x' = x + ω (b − A x)/diag  (single fused pass on TPU)."""
-    if use_pallas(band_t.dtype, len(npts)):
+    if use_pallas(band_t.dtype, len(npts), npts):
         from poms_tpu.ops.pallas.spmv import jacobi_fused_pallas
 
         return jacobi_fused_pallas(band_t, x_pad, b_int, omega, npts, pads,
@@ -76,7 +80,7 @@ def rbgs_color(band_t, x_pad, b_int, omega, color, npts, pads, starts=None,
                packed=None):
     """One RB-GS color phase: masked hybrid-GS update on color-``color``
     points (fused Pallas kernel on TPU — see rbgs_color_pallas)."""
-    if use_pallas(band_t.dtype, len(npts)):
+    if use_pallas(band_t.dtype, len(npts), npts):
         from poms_tpu.ops.pallas.spmv import rbgs_color_pallas
 
         return rbgs_color_pallas(band_t, x_pad, b_int, omega, color, npts,
