@@ -33,6 +33,9 @@ def main():
     degree = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-10
     residual = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    inner = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    cheb_fraction = float(sys.argv[6]) if len(sys.argv) > 6 else 16.0
+    cheb_degree = int(sys.argv[7]) if len(sys.argv) > 7 else 4
 
     import jax
 
@@ -53,9 +56,11 @@ def main():
                            dtype=jnp.float64)
     cfg = CycleConfig(nu1=1, nu2=1,
                       smoother=SmootherConfig("chebyshev",
-                                              cheb_fraction=16.0))
+                                              cheb_fraction=cheb_fraction,
+                                              cheb_degree=cheb_degree))
     mg = MixedPrecisionMG(prob, num_levels=num_levels, cfg=cfg,
-                          operator="kron", residual=residual)
+                          operator="kron", residual=residual,
+                          inner_cycles=inner)
     # host loop: residual history + convergence verification + the
     # r3-comparable per-iter median (includes one host sync per cycle)
     res = mg.solve(tol=tol, maxiter=100)
@@ -73,7 +78,9 @@ def main():
     it = int(it)
     per_iter = wall / max(it, 1)
     print("RESULT " + json.dumps({
-        "name": f"vcycle3d_n{n_el}_p{degree}_to_{tol:g}_{mg.residual_mode}",
+        "name": (f"vcycle3d_n{n_el}_p{degree}_to_{tol:g}_"
+                 f"{mg.residual_mode}_ic{inner}"
+                 f"_cheb{cheb_degree}f{cheb_fraction:g}"),
         "converged": bool(res.converged) and float(rn) <= tol,
         "iterations": it,
         "per_iter_s": per_iter,

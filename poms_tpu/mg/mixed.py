@@ -81,7 +81,13 @@ class MixedPrecisionMG:
     def __init__(self, problem: PoissonProblem, num_levels: int,
                  cfg: CycleConfig = CycleConfig(),
                  low_dtype=jnp.float32, operator: str = "banded",
-                 residual: str = "auto"):
+                 residual: str = "auto", inner_cycles: int = 1):
+        # ``inner_cycles``: f32 V-cycles per outer correction, chained via
+        # the CHEAP f32 residual of the error equation.  The outer dw/f64
+        # residual + norm cost ~1.5× one cycle at 128³ (attr_iter round 4),
+        # so k inner cycles amortize that overhead over a ~ρ^k reduction
+        # per outer step — measured: inner_cycles=2 cuts the 128³ wall
+        # ~25% (BASELINE.md round-4 headline table).
         if problem.space.dtype != jnp.dtype(jnp.float64):
             raise ValueError("build the problem in f64; the low-precision "
                              "hierarchy is derived from it")
@@ -98,6 +104,7 @@ class MixedPrecisionMG:
             raise ValueError("residual='twofloat' needs the Kronecker-sum "
                              "operator (structure the dw residual exploits)")
         self.residual_mode = residual
+        self.inner_cycles = inner_cycles = max(1, int(inner_cycles))
         self.problem = problem
         self.levels64 = build_hierarchy(problem, num_levels,
                                         operator=operator)
@@ -110,14 +117,29 @@ class MixedPrecisionMG:
         A64 = self.levels64[0].A
         sp32 = self.levels32[0].A.space
 
+        def error_cycles(levels32, r32):
+            """inner_cycles f32 V-cycles on the error equation, chained
+            through the cheap f32 residual (one low-dtype operator apply
+            per extra cycle — the outer high-precision residual/norm are
+            NOT recomputed between inner cycles)."""
+            e32 = cycle(levels32, 0, StencilVector.zeros(sp32), r32, cfg,
+                        lams)
+            for _ in range(inner_cycles - 1):
+                d = StencilVector.from_interior(
+                    sp32, r32.interior - levels32[0].A.dot(e32).interior)
+                de = cycle(levels32, 0, StencilVector.zeros(sp32), d, cfg,
+                           lams)
+                e32 = StencilVector.from_interior(
+                    sp32, e32.interior + de.interior)
+            return e32
+
         def step(levels64, levels32, x, b):
             r = b - levels64[0].A.dot(x)           # f64 residual
             scale = r.norm()
             safe = jnp.where(scale > 0, scale, 1.0)
             r32 = StencilVector.from_interior(
                 sp32, (r.interior / safe).astype(low_dtype))
-            e32 = cycle(levels32, 0, StencilVector.zeros(sp32), r32, cfg,
-                        lams)
+            e32 = error_cycles(levels32, r32)
             e = e32.interior.astype(jnp.float64) * safe
             x = StencilVector.from_interior(x.space, x.interior + e)
             rn = (b - levels64[0].A.dot(x)).norm()
@@ -157,8 +179,7 @@ class MixedPrecisionMG:
                 safe32 = jnp.where(scale > 0, scale, 1.0).astype(jnp.float32)
                 r32 = StencilVector.from_interior(
                     sp32, (rh / safe32).astype(sp32.dtype))
-                e32 = cycle(levels32, 0, StencilVector.zeros(sp32), r32,
-                            cfg, lams)
+                e32 = error_cycles(levels32, r32)
                 ch, cl = two_prod(e32.interior.astype(jnp.float32),
                                   safe32)                 # exact e·safe
                 xh, xl = dw_add(xh, xl, ch, cl)

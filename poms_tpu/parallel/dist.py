@@ -101,7 +101,7 @@ class DistributedMG:
                  cfg: CycleConfig = CycleConfig(), devices=None,
                  dist_levels: int | str = "auto", overlap: bool = True,
                  mixed: bool = False, operator: str = "banded",
-                 mixed_residual: str = "auto"):
+                 mixed_residual: str = "auto", inner_cycles: int = 1):
         # ``overlap``: emit halo ppermutes independent of the interior SpMV
         # so XLA can overlap communication with compute (SURVEY.md §7.1.7);
         # results are equal to the non-overlapped path to f64 roundoff.
@@ -130,6 +130,9 @@ class DistributedMG:
                              "operator (the dw residual exploits its "
                              "structure)")
         self.mixed_residual = mixed_residual if mixed else None
+        # low-dtype V-cycles per outer correction, chained via the cheap
+        # low-dtype error residual (mirrors mg/mixed.py::error_cycles)
+        self.inner_cycles = max(1, int(inner_cycles))
         if cfg.smoother.kind not in ("jacobi", "rbgs", "chebyshev"):
             raise ValueError(
                 f"smoother {cfg.smoother.kind!r} is not distributed "
@@ -456,6 +459,21 @@ class DistributedMG:
             return x_loc
 
         mixed = self.mixed
+        inner_cycles = self.inner_cycles
+
+        def error_cycles_local(r_lo, bands_lo, transfers, tail, tail_tr):
+            """inner_cycles low-dtype V-cycles on the error equation
+            (mg/mixed.py::error_cycles, sharded form): extra cycles chain
+            through the cheap low-dtype residual — one operator apply, no
+            high-precision norm between them."""
+            e_lo = vcycle_local(0, jnp.zeros_like(r_lo), r_lo, bands_lo,
+                                transfers, tail, tail_tr)
+            for _ in range(inner_cycles - 1):
+                d_lo = r_lo - apply_A(0, bands_lo[0], e_lo)
+                e_lo = e_lo + vcycle_local(0, jnp.zeros_like(d_lo), d_lo,
+                                           bands_lo, transfers, tail,
+                                           tail_tr)
+            return e_lo
 
         def body(x_loc, b_loc, bands, transfers, tail, tail_tr):
             x_loc = vcycle_local(0, x_loc, b_loc, bands, transfers, tail,
@@ -508,8 +526,8 @@ class DistributedMG:
             scale = dist_norm2(r_loc, spec0)
             safe = jnp.where(scale > 0, scale, 1.0)
             r_lo = (r_loc / safe).astype(jnp.float32)
-            e_lo = vcycle_local(0, jnp.zeros_like(r_lo), r_lo, bands_lo,
-                                transfers, tail, tail_tr)
+            e_lo = error_cycles_local(r_lo, bands_lo, transfers, tail,
+                                      tail_tr)
             x_loc = x_loc + e_lo.astype(x_loc.dtype) * safe
             r2 = b_loc - apply_A(0, bands[0], x_loc)
             rn = dist_norm2(r2, spec0)
@@ -558,8 +576,8 @@ class DistributedMG:
                     safe32 = jnp.where(scale > 0, scale,
                                        1.0).astype(jnp.float32)
                     r_lo = rh / safe32
-                    e_lo = vcycle_local(0, jnp.zeros_like(r_lo), r_lo,
-                                        bands_lo, transfers, tail, tail_tr)
+                    e_lo = error_cycles_local(r_lo, bands_lo, transfers,
+                                              tail, tail_tr)
                     ch, cl = two_prod(e_lo, safe32)     # exact e·safe
                     xh, xl = dw_add(xh, xl, ch, cl)
                     rh2, rl2 = dist_kron_residual_df(bands_df0, lab0, bh,

@@ -287,3 +287,29 @@ def test_dist_kron_fused_exchange_fewer_collectives():
     # 1 + 2 partial exchanges (each with its pair)
     assert n_f < n_s, (n_f, n_s)
     assert n_f == 4  # 2 dims x (fwd + bwd)
+
+
+def test_dist_inner_cycles_matches_serial():
+    """Sharded inner_cycles=2 defect correction ≡ serial MixedPrecisionMG
+    with the same knob (residual histories match to dw roundoff)."""
+    from poms_tpu.mg.mixed import MixedPrecisionMG
+
+    prob = poisson_problem(2, 16, degree=2, operator="kron",
+                           dtype=jnp.float64)
+    cfg = CycleConfig(nu1=1, nu2=1,
+                      smoother=SmootherConfig(kind="jacobi", omega=0.8))
+    ser = MixedPrecisionMG(prob, num_levels=2, cfg=cfg, operator="kron",
+                           residual="twofloat", inner_cycles=2)
+    res_s = ser.solve(tol=1e-10, maxiter=40)
+    dist = DistributedMG(prob, num_levels=2, mesh_shape=(2, 2), cfg=cfg,
+                         operator="kron", mixed=True,
+                         mixed_residual="twofloat", inner_cycles=2)
+    res_d = dist.solve(tol=1e-10, maxiter=40)
+    assert res_s.converged and res_d.converged
+    assert res_s.iterations == res_d.iterations
+    r0 = res_s.residuals[0]
+    for a, b in zip(res_s.residuals[1:], res_d.residuals[1:]):
+        # dw-f32 path: serial and sharded sum in different orders; the
+        # residual ENTRIES carry an absolute dw floor ~2^-49·‖b‖, so small
+        # residuals differ by that floor, not by a relative factor
+        assert abs(a - b) <= 1e-6 * a + 1e-13 * r0, (a, b)

@@ -193,3 +193,20 @@ def test_pcg_solve_compiled_matches_host_loop():
     np.testing.assert_allclose(np.asarray(x.interior),
                                np.asarray(res.x.interior),
                                rtol=0, atol=1e-12)
+
+
+def test_inner_cycles_converges_faster_per_outer_iter():
+    """inner_cycles=2 chains two f32 V-cycles per outer correction via the
+    cheap f32 error residual: fewer outer (high-precision) iterations for
+    the same tolerance, identical final accuracy."""
+    prob = poisson_problem(2, 32, degree=3, operator="kron")
+    cfg = CycleConfig(nu1=1, nu2=1,
+                      smoother=SmootherConfig("chebyshev",
+                                              cheb_fraction=16.0))
+    r1 = MixedPrecisionMG(prob, num_levels=3, cfg=cfg, operator="kron",
+                          residual="twofloat").solve(tol=1e-10, maxiter=60)
+    r2 = MixedPrecisionMG(prob, num_levels=3, cfg=cfg, operator="kron",
+                          residual="twofloat",
+                          inner_cycles=2).solve(tol=1e-10, maxiter=60)
+    assert r1.converged and r2.converged
+    assert r2.iterations < r1.iterations, (r1.iterations, r2.iterations)
