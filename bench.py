@@ -63,6 +63,13 @@ def run_solve(n_el, residual="auto"):
         f"solve n_el={n_el} residual={residual}")
 
 
+def run_pcg(n_el, precision="dw"):
+    return _run_subproc(
+        [sys.executable, "-u", "-m", "poms_tpu.bench.one_pcg",
+         str(n_el), str(DEGREE), "1e-10", precision],
+        f"pcg n_el={n_el} precision={precision}")
+
+
 def main():
     sol = 819.0
     try:
@@ -106,6 +113,18 @@ def main():
                     f"{r['host_loop_per_iter_s']*1e3:.1f} ms/iter)")
         if not solves[n_el]:
             del solves[n_el]
+    # dw-precision MG-preconditioned CG: the fastest measured path to
+    # 1e-10 (round 4: 0.127 s at 128³ vs 0.185 s defect correction)
+    pcgs = {}
+    for n_el in [int(s) for s in
+                 os.environ.get("POMS_BENCH_PCG", "64,128").split(",")
+                 if s]:
+        r = run_pcg(n_el)
+        if r is not None:
+            pcgs[n_el] = r
+            log(f"{r['name']}: {r['iterations']} iters x "
+                f"{r['per_iter_s']*1e3:.1f} ms = {r['wall_to_tol_s']:.3f} s"
+                f" (converged={r['converged']})")
     if not results:
         print(json.dumps({"metric": "spmv_3d_cubic_f32_gnnz_per_s",
                           "value": 0.0, "unit": "Gnnz/s",
@@ -155,6 +174,12 @@ def main():
                             "converged": r["converged"]}
                      for mode, r in by_mode.items()}
             for n, by_mode in solves.items()},
+        "pcg3d_dw_to_1e10": {
+            str(n): {"wall_s": round(r["wall_to_tol_s"], 4),
+                     "iterations": r["iterations"],
+                     "per_iter_s": round(r["per_iter_s"], 5),
+                     "converged": r["converged"]}
+            for n, r in pcgs.items()},
     }
     print(json.dumps(doc))
     return 0

@@ -83,11 +83,12 @@ class MixedPrecisionMG:
                  low_dtype=jnp.float32, operator: str = "banded",
                  residual: str = "auto", inner_cycles: int = 1):
         # ``inner_cycles``: f32 V-cycles per outer correction, chained via
-        # the CHEAP f32 residual of the error equation.  The outer dw/f64
-        # residual + norm cost ~1.5× one cycle at 128³ (attr_iter round 4),
-        # so k inner cycles amortize that overhead over a ~ρ^k reduction
-        # per outer step — measured: inner_cycles=2 cuts the 128³ wall
-        # ~25% (BASELINE.md round-4 headline table).
+        # the CHEAP f32 residual of the error equation.  Measured round 4:
+        # it does NOT pay at the production config (128³: ic2 0.224 s vs
+        # ic1 0.185 s — the convergence tail is limited by a ~0.8
+        # worst-mode cycle factor that extra inner smoothing squares
+        # without the tail following).  Kept as a tuning knob with the
+        # measurement recorded.
         if problem.space.dtype != jnp.dtype(jnp.float64):
             raise ValueError("build the problem in f64; the low-precision "
                              "hierarchy is derived from it")
@@ -330,11 +331,29 @@ class MGPreconditionedCG:
 
     def __init__(self, problem: PoissonProblem, num_levels: int,
                  cfg: CycleConfig = CycleConfig(), mixed: bool = True,
-                 low_dtype=jnp.float32, operator: str = "banded"):
+                 low_dtype=jnp.float32, operator: str = "banded",
+                 precision: str = "f64"):
+        # ``precision``: arithmetic of the OUTER Krylov recurrence —
+        #   'f64' — classic: CG vectors/SpMV in f64 (XLA-emulated on TPU;
+        #          the A·p per iteration costs ~38 ms at 128³).
+        #   'dw'  — double-word f32 (requires operator='kron' + mixed):
+        #          x, r carried as (hi, lo) f32 pairs, A·p through the EFT
+        #          Kronecker apply (~6 ms at 128³), search directions and
+        #          preconditioner in f32, α/β/ρ as O(1) f64 scalars.  The
+        #          flexible (IPCG) β tolerates both the f32 preconditioner
+        #          and the f32 directions; r/x keep ~49-bit recurrences so
+        #          1e-10 is reachable.
         from dataclasses import replace as _dc_replace
 
         from poms_tpu.mg.smoother import (attach_spectral_estimates,
                                           resolve_omega)
+
+        if precision not in ("f64", "dw"):
+            raise ValueError(f"precision={precision!r}")
+        if precision == "dw" and operator != "kron":
+            raise ValueError("precision='dw' needs the Kronecker-sum "
+                             "operator (the EFT apply exploits it)")
+        self.precision = precision
 
         self.problem = problem
         self.levels = build_hierarchy(problem, num_levels,
@@ -377,16 +396,176 @@ class MGPreconditionedCG:
         self._step = jax.jit(step)
         self._precond = jax.jit(precond)
 
+        if precision == "dw":
+            from poms_tpu.ops.twofloat import (dw_add, dw_dot, dw_mul,
+                                               dw_norm2, residual_kron_df,
+                                               split_f64)
+
+            A64 = self.levels[0].A
+            labels = A64._band_labels()
+            seen = {}
+            terms_df = []
+            for term in A64.terms:
+                row = []
+                for B in term:
+                    key = id(B)
+                    if key not in seen:
+                        seen[key] = split_f64(jnp.asarray(B, jnp.float64))
+                    row.append(seen[key])
+                terms_df.append(tuple(row))
+            self._terms_df = tuple(terms_df)
+            pads = problem.space.pads
+
+            def apply_A_dw(terms_df, ph):
+                """A·p in double-word from an f32 direction p: the EFT
+                kron residual with b = 0 gives −A·p."""
+                z = jnp.zeros_like(ph)
+                nh, nl = residual_kron_df(terms_df, z, z, ph, z, pads,
+                                          labels=labels)
+                return -nh, -nl
+
+            def precond_dw(levels_pre, rh, rl):
+                """z ≈ M⁻¹ r from the dw residual: one f32 cycle on the
+                unit-scaled hi word, rescaled back (f32 holds 1e-10-scale
+                values fine; only the RATIO needs cycle accuracy)."""
+                scale = dw_norm2(rh, rl)
+                safe = jnp.where(scale > 0, scale, 1.0)
+                r_hat = StencilVector.from_interior(
+                    sp_pre, (rh / safe.astype(jnp.float32)))
+                z_hat = cycle(levels_pre, 0, StencilVector.zeros(sp_pre),
+                              r_hat, cfg, lams)
+                return z_hat.interior * safe.astype(jnp.float32)
+
+            def step_dw(levels_pre, terms_df, xh, xl, rh, rl, z, p, rz):
+                # α = ρ / pᵀAp ;  x += αp ;  r −= αAp   (dw recurrences)
+                aph, apl = apply_A_dw(terms_df, p)
+                pAp = dw_dot(p, jnp.zeros_like(p), aph, apl)
+                alpha = rz / pAp
+                a_h, a_l = split_f64(alpha)
+                dxh, dxl = dw_mul(a_h, a_l, p, jnp.zeros_like(p))
+                xh, xl = dw_add(xh, xl, dxh, dxl)
+                drh, drl = dw_mul(-a_h, -a_l, aph, apl)
+                rh, rl = dw_add(rh, rl, drh, drl)
+                z_new = precond_dw(levels_pre, rh, rl)
+                rz_new = dw_dot(z_new, jnp.zeros_like(z_new), rh, rl)
+                # flexible (IPCG): β = z_newᵀ(r_new − r_old)/ρ_old, and
+                # r_new − r_old = −αAp is already in hand in dw
+                s = dw_dot(z_new, jnp.zeros_like(z_new), drh, drl)
+                beta = s / rz
+                p = z_new + beta.astype(jnp.float32) * p
+                rn = dw_norm2(rh, rl)
+                return xh, xl, rh, rl, z_new, p, rz_new, rn
+
+            self._step_dw_raw = step_dw
+            self._step_dw = jax.jit(step_dw)
+
+    def _solve_dw(self, b, tol, maxiter, logger):
+        import time as _time
+
+        from poms_tpu.ops.twofloat import dw_dot, merge_f64, split_f64
+
+        sp = self.problem.space
+        bh, bl = split_f64(b.interior)
+        xh, xl = jnp.zeros_like(bh), jnp.zeros_like(bl)
+        rh, rl = bh, bl
+        residuals = [float(b.norm())]
+        if residuals[-1] <= tol:
+            return SolveResult(x=StencilVector.zeros(sp),
+                               residuals=residuals, iterations=0,
+                               converged=True)
+        # first z/p outside the step (same structure as the f64 loop)
+        z = self._first_z(rh, rl)
+        p = z
+        rz = dw_dot(z, jnp.zeros_like(z), rh, rl)
+        wall = []
+        it, converged = 0, False
+        while not converged and it < maxiter:
+            t0 = _time.perf_counter()
+            xh, xl, rh, rl, z, p, rz, rn = self._step_dw(
+                self.levels_pre, self._terms_df, xh, xl, rh, rl, z, p, rz)
+            rn = float(rn)
+            wall.append(_time.perf_counter() - t0)
+            residuals.append(rn)
+            it += 1
+            converged = rn <= tol
+            if logger is not None:
+                logger.log_cycle(cycle=it, residual=rn,
+                                 rho=rn / residuals[-2], wall_s=wall[-1])
+        x = StencilVector.from_interior(sp, merge_f64(xh, xl))
+        return SolveResult(x=x, residuals=residuals, iterations=it,
+                           converged=converged, wall_times=wall)
+
+    def _first_z(self, rh, rl):
+        """Initial preconditioned residual for the dw loop (jitted once)."""
+        if not hasattr(self, "_first_z_fn"):
+            cfg = self.cfg
+            sp_pre = self.levels_pre[0].A.space
+            from poms_tpu.mg.smoother import attach_spectral_estimates
+
+            lams = attach_spectral_estimates(self.levels, cfg.smoother)
+            from poms_tpu.ops.twofloat import dw_norm2
+
+            def f(levels_pre, rh, rl):
+                scale = dw_norm2(rh, rl)
+                safe = jnp.where(scale > 0, scale, 1.0)
+                r_hat = StencilVector.from_interior(
+                    sp_pre, rh / safe.astype(jnp.float32))
+                z_hat = cycle(levels_pre, 0, StencilVector.zeros(sp_pre),
+                              r_hat, cfg, lams)
+                return z_hat.interior * safe.astype(jnp.float32)
+
+            self._first_z_fn = jax.jit(f)
+        return self._first_z_fn(self.levels_pre, rh, rl)
+
     def solve_compiled(self, b: Optional[StencilVector] = None,
                        tol: float = 1e-10, maxiter: int = 100):
         """Fully-jitted PCG solve (``lax.while_loop``) — one dispatch +
         one scalar fetch per solve (VERDICT r3 ask #4, PCG leg).  Returns
-        ``(x, final_residual, iterations)``."""
+        ``(x, final_residual, iterations)``.  Covers both precision
+        modes."""
         b = b if b is not None else self.problem.b
-        key = (float(tol), int(maxiter))
+        key = (self.precision, float(tol), int(maxiter))
         cache = getattr(self, "_compiled_runners", None)
         if cache is None:
             cache = self._compiled_runners = {}
+        if self.precision == "dw":
+            from poms_tpu.ops.twofloat import (dw_dot, dw_norm2, merge_f64,
+                                               split_f64)
+
+            space = self.problem.space
+            if key not in cache:
+                step_dw = self._step_dw_raw
+                first_z = self._first_z  # compiles its own helper lazily
+
+                @jax.jit
+                def run_dw(levels_pre, terms_df, b_int, z0):
+                    bh, bl = split_f64(b_int)
+                    xh, xl = jnp.zeros_like(bh), jnp.zeros_like(bl)
+                    rh, rl = bh, bl
+                    rz0 = dw_dot(z0, jnp.zeros_like(z0), rh, rl)
+                    rn0 = dw_norm2(rh, rl)
+
+                    def cond(st):
+                        return jnp.logical_and(st[7] > tol,
+                                               st[8] < maxiter)
+
+                    def body(st):
+                        xh, xl, rh, rl, z, p, rz, _, it = st
+                        xh, xl, rh, rl, z, p, rz, rn = step_dw(
+                            levels_pre, terms_df, xh, xl, rh, rl, z, p, rz)
+                        return (xh, xl, rh, rl, z, p, rz, rn, it + 1)
+
+                    st = jax.lax.while_loop(
+                        cond, body,
+                        (xh, xl, rh, rl, z0, z0, rz0, rn0, jnp.int32(0)))
+                    return merge_f64(st[0], st[1]), st[7], st[8]
+
+                cache[key] = run_dw
+            bh, bl = split_f64(b.interior)
+            z0 = self._first_z(bh, bl)
+            x_int, rn, it = cache[key](self.levels_pre, self._terms_df,
+                                       b.interior, z0)
+            return StencilVector.from_interior(space, x_int), rn, it
         if key not in cache:
             step = self._step_raw
             precond = self._precond_raw
@@ -419,6 +598,8 @@ class MGPreconditionedCG:
     def solve(self, b: Optional[StencilVector] = None, tol: float = 1e-10,
               maxiter: int = 100, logger=None) -> SolveResult:
         b = b if b is not None else self.problem.b
+        if self.precision == "dw":
+            return self._solve_dw(b, tol, maxiter, logger)
         A = self.levels[0].A
         x = StencilVector.zeros(self.problem.space)
         r = b

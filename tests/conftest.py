@@ -21,3 +21,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: XLA:CPU compiles the deep EFT graphs in
+# O(minutes) on this 2-core host; repeat suite runs hit the cache
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_poms_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

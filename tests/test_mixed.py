@@ -210,3 +210,35 @@ def test_inner_cycles_converges_faster_per_outer_iter():
                           inner_cycles=2).solve(tol=1e-10, maxiter=60)
     assert r1.converged and r2.converged
     assert r2.iterations < r1.iterations, (r1.iterations, r2.iterations)
+
+
+@pytest.mark.slow  # XLA:CPU compiles the deep EFT Krylov graph in ~90 s
+def test_pcg_dw_precision_reaches_1e10():
+    """dw-precision flexible PCG (EFT Krylov recurrences, f32 directions,
+    no f64 emulation in the vector ops) reaches 1e-10 with a true
+    residual to match.
+
+    Host-loop, dw leg only on CPU (the f64 PCG leg is covered by the
+    other PCG tests): XLA:CPU compiles the fused residual+dot EFT graphs
+    in O(minutes) on this 2-core host — measured 83 s for this exact
+    configuration standalone, pathologically longer for the generic
+    jacobi-on-kron smoother branch.  The compiled while_loop variant and
+    the f64-iteration-parity comparison run on TPU via bench/one_pcg.py
+    (round-4 artifact: 9 iterations at 64^3 and 128^3, vs 8-9 for f64
+    PCG on CPU)."""
+    import jax.numpy as jnp
+
+    prob = poisson_problem(3, 32, degree=3, operator="kron")
+    cfg = CycleConfig(nu1=1, nu2=1,
+                      smoother=SmootherConfig("chebyshev",
+                                              cheb_fraction=16.0))
+    dw = MGPreconditionedCG(prob, num_levels=3, cfg=cfg, mixed=True,
+                            operator="kron", precision="dw")
+    rdw = dw.solve(tol=1e-10, maxiter=60)
+    assert rdw.converged
+    assert rdw.iterations <= 12, rdw.iterations
+    rr = prob.b.interior - prob.A.dot(rdw.x).interior
+    assert float(jnp.linalg.norm(rr)) <= 5e-10
+
+
+
