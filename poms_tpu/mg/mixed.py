@@ -107,8 +107,14 @@ class MixedPrecisionMG:
         self.residual_mode = residual
         self.inner_cycles = inner_cycles = max(1, int(inner_cycles))
         self.problem = problem
-        self.levels64 = build_hierarchy(problem, num_levels,
-                                        operator=operator)
+        if hasattr(problem, "shift"):   # PeriodicProblem (models/periodic)
+            from poms_tpu.models.periodic import build_periodic_hierarchy
+
+            self.levels64 = build_periodic_hierarchy(problem, num_levels,
+                                                     operator=operator)
+        else:
+            self.levels64 = build_hierarchy(problem, num_levels,
+                                            operator=operator)
         cfg = _dc_replace(cfg, smoother=resolve_omega(cfg.smoother,
                                                       self.levels64[0].A))
         self.cfg = cfg
@@ -170,6 +176,7 @@ class MixedPrecisionMG:
                 terms_df.append(tuple(row))
             self._terms_df = tuple(terms_df)
             pads = problem.space.pads
+            periodic = problem.space.periodic
 
             def step_tf(levels32, terms_df, xh, xl, rh, rl, bh, bl):
                 # one correction from the CURRENT residual, then the new
@@ -185,7 +192,7 @@ class MixedPrecisionMG:
                                   safe32)                 # exact e·safe
                 xh, xl = dw_add(xh, xl, ch, cl)
                 rh, rl = residual_kron_df(terms_df, bh, bl, xh, xl, pads,
-                                          labels=labels)
+                                          labels=labels, periodic=periodic)
                 rn = dw_norm2(rh, rl)
                 return xh, xl, rh, rl, rn
 
@@ -356,8 +363,14 @@ class MGPreconditionedCG:
         self.precision = precision
 
         self.problem = problem
-        self.levels = build_hierarchy(problem, num_levels,
-                                      operator=operator)
+        if hasattr(problem, "shift"):   # PeriodicProblem (models/periodic)
+            from poms_tpu.models.periodic import build_periodic_hierarchy
+
+            self.levels = build_periodic_hierarchy(problem, num_levels,
+                                                   operator=operator)
+        else:
+            self.levels = build_hierarchy(problem, num_levels,
+                                          operator=operator)
         cfg = _dc_replace(cfg, smoother=resolve_omega(cfg.smoother,
                                                       self.levels[0].A))
         self.cfg = cfg
@@ -416,12 +429,14 @@ class MGPreconditionedCG:
             self._terms_df = tuple(terms_df)
             pads = problem.space.pads
 
+            periodic = problem.space.periodic
+
             def apply_A_dw(terms_df, ph):
                 """A·p in double-word from an f32 direction p: the EFT
                 kron residual with b = 0 gives −A·p."""
                 z = jnp.zeros_like(ph)
                 nh, nl = residual_kron_df(terms_df, z, z, ph, z, pads,
-                                          labels=labels)
+                                          labels=labels, periodic=periodic)
                 return -nh, -nl
 
             def precond_dw(levels_pre, rh, rl):

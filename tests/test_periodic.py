@@ -66,3 +66,23 @@ def test_periodic_mg_solve(dim, n_el, p):
     u_ref = spla.spsolve(prob.A.tocsr(), np.asarray(prob.b.interior).ravel())
     np.testing.assert_allclose(np.asarray(x.interior).ravel(), u_ref,
                                rtol=1e-7, atol=1e-9)
+
+
+def test_periodic_mixed_twofloat_reaches_1e10():
+    """Serial mixed twofloat defect correction on the periodic
+    shifted-Laplace kron operator (round-4 gap: DistributedMG supported
+    periodic problems, MixedPrecisionMG did not)."""
+    import jax.numpy as jnp
+
+    from poms_tpu.mg.mixed import MixedPrecisionMG
+
+    prob = periodic_problem(2, 32, degree=3, shift=1.0)
+    cfg = CycleConfig(nu1=1, nu2=1,
+                      smoother=SmootherConfig("chebyshev",
+                                              cheb_fraction=16.0))
+    mg = MixedPrecisionMG(prob, num_levels=2, cfg=cfg, operator="kron",
+                          residual="twofloat")
+    res = mg.solve(tol=1e-10, maxiter=60)
+    assert res.converged, res.residuals[-3:]
+    r = prob.b.interior - prob.A.dot(res.x).interior
+    assert float(jnp.linalg.norm(r)) <= 5e-10
