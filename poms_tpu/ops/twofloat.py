@@ -27,7 +27,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 
 __all__ = ["split_f64", "merge_f64", "two_sum", "two_prod", "dw_add",
-           "dw_mul", "dw_neg", "residual_kron_df", "dw_norm2", "dw_dot"]
+           "dw_mul", "dw_neg", "residual_kron_df", "dw_norm2", "dw_dot",
+           "dw_sum_tree"]
 
 _SPLIT = jnp.float32(4097.0)  # Dekker split constant for f32: 2^12 + 1
 
@@ -241,15 +242,17 @@ def residual_kron_df(terms_df: Sequence[Sequence[Tuple]], bh, bl, xh, xl,
     return dw_add(bh, bl, -axh, -axl)
 
 
-def dw_dot(xh, xl, yh, yl):
-    """⟨x, y⟩ of two double-word arrays, accumulated in double-word, then
-    returned as ONE f64 scalar (O(1) emulated work — scalars are free).
+def dw_sum_tree(sh, sl):
+    """Flat double-word pairwise-tree sum → ONE f64 scalar.
 
-    Same contiguous half-vs-half pairwise tree as :func:`dw_norm2` (the
-    even/odd pairing's per-level lane relayout cost 62 ms at 128³)."""
-    fh, fl = xh.reshape(-1), xl.reshape(-1)
-    gh, gl = yh.reshape(-1), yl.reshape(-1)
-    sh, sl = dw_mul(fh, fl, gh, gl)
+    The tree pairs the FIRST HALF against the SECOND HALF each step:
+    contiguous slices, which TPU handles as plain vector adds — an
+    even/odd ``[0::2]`` pairing forces a lane-interleaving relayout per
+    level and was measured at 62 ms per norm at 128³ (≈ 2/3 of the whole
+    mixed-solve iteration; round-4 attr_iter probe).  Log-depth keeps the
+    error ~ulp_dw · log n; the f64 cast at the end is O(1) scalar work.
+    """
+    sh, sl = sh.reshape(-1), sl.reshape(-1)
     while sh.shape[0] > 1:
         m = sh.shape[0]
         half = (m + 1) // 2
@@ -261,27 +264,18 @@ def dw_dot(xh, xl, yh, yl):
     return sh[0].astype(jnp.float64) + sl[0].astype(jnp.float64)
 
 
-def dw_norm2(xh, xl):
-    """‖x‖₂ of a double-word array, accumulated in double-word.
+def dw_dot(xh, xl, yh, yl):
+    """⟨x, y⟩ of two double-word arrays, accumulated in double-word, then
+    returned as ONE f64 scalar (O(1) emulated work — scalars are free)."""
+    sh, sl = dw_mul(xh.reshape(-1), xl.reshape(-1),
+                    yh.reshape(-1), yl.reshape(-1))
+    return dw_sum_tree(sh, sl)
 
-    Squares via dw_mul, summed with a two_sum cascade over a flat pairwise
-    tree (log-depth, keeps the error ~ulp_dw · log n).  The tree pairs the
-    FIRST HALF against the SECOND HALF each step: contiguous slices, which
-    TPU handles as plain vector adds — the earlier even/odd ``[0::2]``
-    pairing forced a lane-interleaving relayout per level and was measured
-    at 62 ms per norm at 128³ (≈ 2/3 of the whole mixed-solve iteration;
-    round-4 attr_iter probe).  Same pairwise error class, different (still
-    deterministic) summation order.
-    """
+
+def dw_norm2(xh, xl):
+    """‖x‖₂ of a double-word array, accumulated in double-word (squares
+    via dw_mul, summed with the :func:`dw_sum_tree` cascade)."""
     fh = xh.reshape(-1)
     fl = xl.reshape(-1)
     sh, sl = dw_mul(fh, fl, fh, fl)
-    while sh.shape[0] > 1:
-        m = sh.shape[0]
-        half = (m + 1) // 2
-        pad = half * 2 - m
-        if pad:
-            sh = jnp.concatenate([sh, jnp.zeros((pad,), sh.dtype)])
-            sl = jnp.concatenate([sl, jnp.zeros((pad,), sl.dtype)])
-        sh, sl = dw_add(sh[:half], sl[:half], sh[half:], sl[half:])
-    return jnp.sqrt(sh[0].astype(jnp.float64) + sl[0].astype(jnp.float64))
+    return jnp.sqrt(dw_sum_tree(sh, sl))

@@ -270,22 +270,12 @@ def dist_kron_residual_df(bands_df_by_axis, labels, bh, bl, xh, xl,
 def dist_dw_norm2(rh, rl, spec: HaloSpec):
     """Global ‖r‖₂ of a sharded double-word field: local dw pairwise-tree
     sum of squares, then one scalar f64 psum (O(1) emulated work)."""
-    from poms_tpu.ops.twofloat import dw_add, dw_mul
+    from poms_tpu.ops.twofloat import dw_mul, dw_sum_tree
 
     fh = rh.reshape(-1)
     fl = rl.reshape(-1)
     sh, sl = dw_mul(fh, fl, fh, fl)
-    while sh.shape[0] > 1:
-        # contiguous half-vs-half pairing — see ops/twofloat.py::dw_norm2
-        # (the even/odd pairing relayouts cost 62 ms/norm at 128³ on TPU)
-        m = sh.shape[0]
-        half = (m + 1) // 2
-        pad = half * 2 - m
-        if pad:
-            sh = jnp.concatenate([sh, jnp.zeros((pad,), sh.dtype)])
-            sl = jnp.concatenate([sl, jnp.zeros((pad,), sl.dtype)])
-        sh, sl = dw_add(sh[:half], sl[:half], sh[half:], sl[half:])
-    local = sh[0].astype(jnp.float64) + sl[0].astype(jnp.float64)
+    local = dw_sum_tree(sh, sl)
     names = spec.names
     total = jax.lax.psum(local, names) if names else local
     return jnp.sqrt(total)
