@@ -28,6 +28,16 @@ Layout:
   utils/    configs, structured convergence logging, checkpointing
 """
 
+# JAX traces of the deep composite programs here (Pallas kernels inside
+# multigrid cycles inside lax.while_loop solves) exceed CPython's default
+# 1000-frame recursion limit (measured: RecursionError tracing the 128^3
+# solve once the fused kron kernel landed inside the cycle).  Raising the
+# limit at import is the standard JAX remedy.
+import sys as _sys
+
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
+
+
 __version__ = "0.1.0"
 
 from poms_tpu.core.space import StencilVectorSpace

@@ -42,6 +42,22 @@ def use_pallas(dtype, ndim: int, npts=None) -> bool:
             and lanes_ok)
 
 
+def use_pallas_kron(npts, pads, dtype) -> bool:
+    """Fused Pallas kron-apply dispatch (ops/pallas/kron.py) — OPT-IN via
+    ``POMS_TPU_KRON=pallas``.  Measured round 4 at 128³ p3: the kernel
+    wins standalone (0.505 ms vs 0.70 ms XLA — the whole contraction
+    chain stays in VMEM) but LOSES inside the solve (22.1 vs 13.0 ms/
+    iter): a pallas_call is a fusion barrier, and XLA had been fusing the
+    kron contractions into the surrounding smoother arithmetic.  The XLA
+    path therefore stays the production default; the kernel remains
+    in-tree, parity-tested, as the measured record."""
+    if os.environ.get("POMS_TPU_KRON") != "pallas":
+        return False
+    from poms_tpu.ops.pallas.kron import kron_pallas_supported
+
+    return kron_pallas_supported(npts, pads, dtype)
+
+
 def spmv(band_t, x_pad, npts, pads, packed=None):
     """``packed``: optional pack_band_v2 dict (v2 engine, 3D) — built once
     at operator setup (StencilMatrix.ensure_packed_v2) and threaded here so

@@ -133,9 +133,9 @@ def _make_kernel(tile, pads, mode, win_al, kc, gshape):
         """Async HBM→VMEM copy of tile ``ids``'s halo window into buffer
         ``slot``.  Lane start stays a syntactic multiple of 128 (Mosaic
         provable-divisibility requirement — module docstring)."""
-        src = x_hbm.at[pl.ds(ids[0] * tile[0], win_al[0]),
-                       pl.ds(ids[1] * tile[1], win_al[1]),
-                       pl.ds(ids[2] * tile[2], win_al[2])]
+        src = x_hbm.at[pl.ds(jnp.int32(ids[0] * tile[0]), win_al[0]),
+                       pl.ds(jnp.int32(ids[1] * tile[1]), win_al[1]),
+                       pl.ds(jnp.int32(ids[2] * tile[2]), win_al[2])]
         return pltpu.make_async_copy(src, xw.at[slot], sem.at[slot])
 
     def body_common(k, x_hbm, band_ref, xw, sem):
@@ -147,7 +147,10 @@ def _make_kernel(tile, pads, mode, win_al, kc, gshape):
         # program_id must be bound OUTSIDE pl.when bodies: the interpret-
         # mode interpreter only substitutes it in the top-level jaxpr
         ids = [pl.program_id(a) for a in range(3)]
-        t_lin = (ids[0] * GJ + ids[1]) * GL + ids[2]
+        # int32 throughout: under jax_enable_x64 the mixed
+        # int32×PythonInt arithmetic promotes to i64, which
+        # Mosaic's memref_slice rejects (round-4 finding)
+        t_lin = jnp.int32((ids[0] * GJ + ids[1]) * GL + ids[2])
         slot = jax.lax.rem(t_lin, jnp.int32(2))
 
         @pl.when(k == 0)
@@ -157,14 +160,16 @@ def _make_kernel(tile, pads, mode, win_al, kc, gshape):
                 window_copy(ids, xw, sem, 0, x_hbm).start()
 
             window_copy(ids, xw, sem, slot, x_hbm).wait()
-            nxt = t_lin + 1
+            nxt = t_lin + jnp.int32(1)
 
             @pl.when(nxt < n_tiles)
             def _():
                 l2 = jax.lax.rem(nxt, jnp.int32(GL))
-                j2 = jax.lax.rem(nxt // GL, jnp.int32(GJ))
-                i2 = nxt // (GJ * GL)
-                window_copy((i2, j2, l2), xw, sem, 1 - slot, x_hbm).start()
+                j2 = jax.lax.rem(jax.lax.div(nxt, jnp.int32(GL)),
+                             jnp.int32(GJ))
+                i2 = jax.lax.div(nxt, jnp.int32(GJ * GL))
+                window_copy((i2, j2, l2), xw, sem, jnp.int32(1) - slot,
+                        x_hbm).start()
 
         # Round-2 measured lesson (bench/kernel_probe.py ablations): NO
         # staged intermediates.  Round 1 sliced a per-k3 ``xs`` view and
@@ -289,6 +294,23 @@ def _make_kernel(tile, pads, mode, win_al, kc, gshape):
     return kernel
 
 
+def _x64_off(fn):
+    """Trace the Pallas call with jax_enable_x64 OFF: Mosaic materializes
+    index constants in the default integer width, and under x64 the i64s
+    are rejected by tpu.memref_slice (or send convert lowering into
+    infinite recursion).  All operands here are f32/bf16/i32, so x64-off
+    tracing is semantics-preserving (round-4 finding; same guard in
+    ops/pallas/kron.py)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.enable_x64(False):
+            return fn(*args, **kwargs)
+    return wrapper
+
+
+@_x64_off
 def _stencil_call(band_t, x_pad, b, omega, npts, pads, mode, interpret,
                   pbase=None):
     kind = mode[0] if isinstance(mode, tuple) else mode
@@ -455,9 +477,9 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
         kernel-side starts are all syntactic tile multiples and the +k2
         happened at stack-build time."""
         src = x_hbm.at[k2,
-                       pl.ds(ids[0] * t0, win[0]),
-                       pl.ds(ids[1] * t2, win[1]),
-                       pl.ds(ids[2] * t3, win[2])]
+                       pl.ds(jnp.int32(ids[0] * t0), win[0]),
+                       pl.ds(jnp.int32(ids[1] * t2), win[1]),
+                       pl.ds(jnp.int32(ids[2] * t3), win[2])]
         return pltpu.make_async_copy(src, xw.at[slot, k2], sem.at[slot, k2])
 
     D = _BAND_DEPTH
@@ -473,7 +495,7 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
         'halfdma' ablation: keeps wait/issue counts and compute identical
         while cutting band HBM traffic)."""
         kq = jax.lax.rem(s, jnp.int32(kc))
-        tq = s // kc
+        tq = jax.lax.div(s, jnp.int32(kc))
         slot = jax.lax.rem(s, jnp.int32(D))
         S = bw.shape[1]
         if frac > 1:
@@ -492,9 +514,12 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
         left ~1.5 ms of band DMA unhidden at 128³ p3 (round-3 ladder), so
         the band never touches the auto-pipeline."""
         ids = [pl.program_id(a) for a in range(3)]
-        t_lin = (ids[0] * GJ + ids[1]) * GL + ids[2]
+        # int32 throughout: under jax_enable_x64 the mixed
+        # int32×PythonInt arithmetic promotes to i64, which
+        # Mosaic's memref_slice rejects (round-4 finding)
+        t_lin = jnp.int32((ids[0] * GJ + ids[1]) * GL + ids[2])
         slot = jax.lax.rem(t_lin, jnp.int32(2))
-        s = t_lin * kc + k
+        s = jnp.int32(t_lin * kc + k)
 
         # timing-only ablations (results intentionally WRONG): "nolane"
         # pins the lane offset, "staticq" the window plane index,
@@ -521,16 +546,17 @@ def _make_kernel_v2(tile, pads, mode, win, kc, gshape):
 
             for k2 in range(w2):
                 window_copy(ids, k2, xw, sem, slot, x_hbm).wait()
-            nxt = t_lin + 1
+            nxt = t_lin + jnp.int32(1)
 
             @pl.when(nxt < n_tiles)
             def _():
                 l2 = jax.lax.rem(nxt, jnp.int32(GL))
-                j2 = jax.lax.rem(nxt // GL, jnp.int32(GJ))
-                i2 = nxt // (GJ * GL)
+                j2 = jax.lax.rem(jax.lax.div(nxt, jnp.int32(GL)),
+                             jnp.int32(GJ))
+                i2 = jax.lax.div(nxt, jnp.int32(GJ * GL))
                 for k2 in range(w2):
-                    window_copy((i2, j2, l2), k2, xw, sem, 1 - slot,
-                                x_hbm).start()
+                    window_copy((i2, j2, l2), k2, xw, sem,
+                                jnp.int32(1) - slot, x_hbm).start()
 
         if _reuse:
             @pl.when(s == 0)
@@ -696,6 +722,7 @@ def _pack_arrays_v2(band_t, npts, pads, tile):
     return blk, diag
 
 
+@_x64_off
 def _stencil_call_v2(band_t, x_pad, b, omega, npts, pads, mode, interpret,
                      pbase=None, packed=None):
     kind = mode[0] if isinstance(mode, tuple) else mode

@@ -1,0 +1,62 @@
+"""Fused Pallas kron-apply vs the XLA shared-partial path (interpret
+mode — the same jnp-twin sanitizer tier as tests/test_pallas.py)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from poms_tpu.core.kron import KroneckerSumOperator
+from poms_tpu.core.space import StencilVectorSpace
+from poms_tpu.ops.pallas.kron import kron_apply_pallas, kron_pallas_supported
+
+CASES = [
+    ((8, 12, 130), 2, False),
+    ((10, 130, 140), 3, False),    # ragged: grid padding on every dim
+    ((8, 8, 128), 2, True),        # periodic wrap
+    ((6, 64, 96), 1, False),       # small t0 / minimum lane width
+]
+
+
+def _setup(npts, p, periodic, seed=0):
+    d = len(npts)
+    rng = np.random.default_rng(seed)
+    sp = StencilVectorSpace(npts=npts, pads=(p,) * d,
+                            periodic=(periodic,) * d, dtype=jnp.float32)
+    Ks = [jnp.asarray(rng.standard_normal((n, 2 * p + 1)), jnp.float32) / 4
+          for n in npts]
+    Ms = [jnp.asarray(rng.standard_normal((n, 2 * p + 1)), jnp.float32) / 4
+          for n in npts]
+    terms = [[Ks[b] if b == a else Ms[b] for b in range(d)]
+             for a in range(d)]
+    op = KroneckerSumOperator(sp, terms)
+    x = jnp.asarray(rng.standard_normal(npts), jnp.float32)
+    return op, x
+
+
+@pytest.mark.parametrize("npts,p,periodic", CASES)
+def test_kron_pallas_matches_xla(npts, p, periodic):
+    op, x = _setup(npts, p, periodic)
+    ref = op._apply_interior(x)
+    out = kron_apply_pallas(op.terms, x, npts, (p,) * 3,
+                            (periodic,) * 3, interpret=True)
+    denom = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(out - ref))) / denom < 1e-5
+
+
+def test_kron_pallas_supported_gates():
+    assert kron_pallas_supported((128, 128, 128), (3,) * 3, jnp.float32)
+    assert not kron_pallas_supported((64, 64, 64), (3,) * 3, jnp.float32)
+    assert not kron_pallas_supported((128, 128), (3,) * 2, jnp.float32)
+    assert not kron_pallas_supported((128,) * 3, (3,) * 3, jnp.float64)
+
+
+def test_kron_dispatch_opt_in(monkeypatch):
+    """The fused kron kernel is strictly opt-in (POMS_TPU_KRON=pallas):
+    measured round 4, it wins standalone but loses inside the solve
+    because the pallas_call blocks XLA's cross-op fusion."""
+    from poms_tpu.ops import dispatch as _d
+
+    monkeypatch.delenv("POMS_TPU_KRON", raising=False)
+    assert not _d.use_pallas_kron((128,) * 3, (3,) * 3, jnp.float32)
+    monkeypatch.setenv("POMS_TPU_KRON", "pallas")
+    assert _d.use_pallas_kron((128,) * 3, (3,) * 3, jnp.float32)
+    assert not _d.use_pallas_kron((64,) * 3, (3,) * 3, jnp.float32)

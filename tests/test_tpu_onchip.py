@@ -59,7 +59,26 @@ ref_c = jnp.where(mask, 0.2 * x_int + 0.8 * gs, x_int)
 out_c = rbgs_color_pallas(band, x, b, 0.8, 0, npts, pads)
 errc = float(jnp.max(jnp.abs(out_c - ref_c)))
 assert errc < 1e-3, ("rbgs", errc)
-print("ONCHIP_OK", err, errj, errr, errc)
+# fused kron apply vs the XLA path (forced off via env for the reference)
+import os
+from poms_tpu.core.kron import KroneckerSumOperator
+from poms_tpu.core.space import StencilVectorSpace
+from poms_tpu.ops.pallas.kron import kron_apply_pallas
+kn = (8, 16, 128)
+sp_k = StencilVectorSpace(npts=kn, pads=(2, 2, 2), periodic=False,
+                          dtype=jnp.float32)
+Ks = [jnp.asarray(rng.standard_normal((n, 5)), jnp.float32) / 4 for n in kn]
+Ms = [jnp.asarray(rng.standard_normal((n, 5)), jnp.float32) / 4 for n in kn]
+terms = [[Ks[b] if b == a else Ms[b] for b in range(3)] for a in range(3)]
+op = KroneckerSumOperator(sp_k, terms)
+xk = jnp.asarray(rng.standard_normal(kn), jnp.float32)
+os.environ["POMS_TPU_KRON"] = "jnp"
+ref_k = op._apply_interior(xk)
+del os.environ["POMS_TPU_KRON"]
+out_k = kron_apply_pallas(op.terms, xk, kn, (2, 2, 2), (False,) * 3)
+errk = float(jnp.max(jnp.abs(out_k - ref_k)))
+assert errk < 1e-3 * float(jnp.max(jnp.abs(ref_k))), ("kron", errk)
+print("ONCHIP_OK", err, errj, errr, errc, errk)
 """
 
 
