@@ -12,6 +12,8 @@ def main():
     degree = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-10
     precision = sys.argv[4] if len(sys.argv) > 4 else "dw"
+    cheb_fraction = float(sys.argv[5]) if len(sys.argv) > 5 else 16.0
+    cheb_degree = int(sys.argv[6]) if len(sys.argv) > 6 else 4
 
     import jax
 
@@ -31,7 +33,8 @@ def main():
                            dtype=jnp.float64)
     cfg = CycleConfig(nu1=1, nu2=1,
                       smoother=SmootherConfig("chebyshev",
-                                              cheb_fraction=16.0))
+                                              cheb_fraction=cheb_fraction,
+                                              cheb_degree=cheb_degree))
     pcg = MGPreconditionedCG(prob, num_levels=num_levels, cfg=cfg,
                              mixed=True, operator="kron",
                              precision=precision)
@@ -43,7 +46,8 @@ def main():
     wall = time.perf_counter() - t0
     it = int(it)
     print("RESULT " + json.dumps({
-        "name": f"pcg3d_n{n_el}_p{degree}_to_{tol:g}_{precision}",
+        "name": (f"pcg3d_n{n_el}_p{degree}_to_{tol:g}_{precision}"
+                 f"_cheb{cheb_degree}f{cheb_fraction:g}"),
         "converged": float(rn) <= tol,
         "iterations": it,
         "per_iter_s": wall / max(it, 1),
