@@ -32,10 +32,16 @@ Layout:
 # multigrid cycles inside lax.while_loop solves) exceed CPython's default
 # 1000-frame recursion limit (measured: RecursionError tracing the 128^3
 # solve once the fused kron kernel landed inside the cycle).  Raising the
-# limit at import is the standard JAX remedy.
+# limit at import is the standard JAX remedy.  SIDE EFFECT: this mutates
+# process-wide interpreter state (a runaway recursion at depth 20000 can
+# overflow the C stack before RecursionError fires); opt out with
+# POMS_TPU_NO_RECURSION_BUMP=1 and raise the limit yourself around the
+# solver entry points if your traces need it.
+import os as _os
 import sys as _sys
 
-_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
+if not _os.environ.get("POMS_TPU_NO_RECURSION_BUMP"):
+    _sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
 
 
 __version__ = "0.1.0"

@@ -14,6 +14,7 @@ def main():
     precision = sys.argv[4] if len(sys.argv) > 4 else "dw"
     cheb_fraction = float(sys.argv[5]) if len(sys.argv) > 5 else 16.0
     cheb_degree = int(sys.argv[6]) if len(sys.argv) > 6 else 4
+    low = sys.argv[7] if len(sys.argv) > 7 else "f32"  # f32 | bf16
 
     import jax
 
@@ -35,9 +36,10 @@ def main():
                       smoother=SmootherConfig("chebyshev",
                                               cheb_fraction=cheb_fraction,
                                               cheb_degree=cheb_degree))
+    low_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[low]
     pcg = MGPreconditionedCG(prob, num_levels=num_levels, cfg=cfg,
                              mixed=True, operator="kron",
-                             precision=precision)
+                             precision=precision, low_dtype=low_dtype)
     x, rn, it = pcg.solve_compiled(tol=tol, maxiter=100)
     jax.block_until_ready(x.interior)
     t0 = time.perf_counter()
@@ -47,7 +49,8 @@ def main():
     it = int(it)
     print("RESULT " + json.dumps({
         "name": (f"pcg3d_n{n_el}_p{degree}_to_{tol:g}_{precision}"
-                 f"_cheb{cheb_degree}f{cheb_fraction:g}"),
+                 f"_cheb{cheb_degree}f{cheb_fraction:g}"
+                 + ("" if low == "f32" else f"_{low}")),
         "converged": float(rn) <= tol,
         "iterations": it,
         "per_iter_s": wall / max(it, 1),

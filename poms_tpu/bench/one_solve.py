@@ -36,6 +36,7 @@ def main():
     inner = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     cheb_fraction = float(sys.argv[6]) if len(sys.argv) > 6 else 16.0
     cheb_degree = int(sys.argv[7]) if len(sys.argv) > 7 else 4
+    low = sys.argv[8] if len(sys.argv) > 8 else "f32"  # f32 | bf16
 
     import jax
 
@@ -58,9 +59,10 @@ def main():
                       smoother=SmootherConfig("chebyshev",
                                               cheb_fraction=cheb_fraction,
                                               cheb_degree=cheb_degree))
+    low_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[low]
     mg = MixedPrecisionMG(prob, num_levels=num_levels, cfg=cfg,
                           operator="kron", residual=residual,
-                          inner_cycles=inner)
+                          inner_cycles=inner, low_dtype=low_dtype)
     # host loop: residual history + convergence verification + the
     # r3-comparable per-iter median (includes one host sync per cycle)
     res = mg.solve(tol=tol, maxiter=100)
@@ -80,7 +82,8 @@ def main():
     print("RESULT " + json.dumps({
         "name": (f"vcycle3d_n{n_el}_p{degree}_to_{tol:g}_"
                  f"{mg.residual_mode}_ic{inner}"
-                 f"_cheb{cheb_degree}f{cheb_fraction:g}"),
+                 f"_cheb{cheb_degree}f{cheb_fraction:g}"
+                 + ("" if low == "f32" else f"_{low}")),
         "converged": bool(res.converged) and float(rn) <= tol,
         "iterations": it,
         "per_iter_s": per_iter,

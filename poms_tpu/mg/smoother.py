@@ -53,9 +53,18 @@ class SmootherConfig:
 
 
 def estimate_dinv_a_lambda_max(A, iters: int = 30, seed: int = 0) -> float:
-    """Power-method estimate of λmax(D⁻¹A) (device-side, setup-time)."""
+    """Power-method estimate of λmax(D⁻¹A) (device-side, setup-time).
+
+    Runs in f32 even for f64 operators: the estimate only parameterizes
+    smoothing intervals/damping (1.02–1.05 safety margins dwarf the f32
+    rounding), and the f64-emulated kron apply at 512³ would make the 30
+    power iterations dominate setup (~2.4 s/apply through XLA's f64
+    emulation vs ~40 ms in f32).
+    """
     import numpy as np
 
+    if A.space.dtype == jnp.dtype(jnp.float64):
+        A = _cast_operator_f32(A)
     sp = A.space
     rng = np.random.default_rng(seed)
     diag = A.diagonal()
@@ -74,6 +83,16 @@ def estimate_dinv_a_lambda_max(A, iters: int = 30, seed: int = 0) -> float:
         return jnp.vdot(x, y) / jnp.vdot(x, x)
 
     return float(iterate(x))
+
+
+def _cast_operator_f32(A):
+    """f32 copy of a banded or Kronecker-sum operator (setup-time only)."""
+    sp32 = A.space.with_dtype(jnp.float32)
+    if hasattr(A, "terms"):  # KroneckerSumOperator
+        from poms_tpu.core.kron import KroneckerSumOperator
+
+        return KroneckerSumOperator(sp32, A.terms)
+    return type(A)(sp32, band_t=A.band_t.astype(jnp.float32))
 
 
 def resolve_omega(cfg: "SmootherConfig", A) -> "SmootherConfig":

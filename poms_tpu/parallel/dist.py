@@ -718,7 +718,11 @@ class DistributedMG:
             def run_tf(b_glob, b_int):
                 bh, bl = split_f64(b_glob)
                 xh, xl = jnp.zeros_like(bh), jnp.zeros_like(bl)
-                rn0 = jnp.linalg.norm(b_int).astype(jnp.float32)
+                # rn stays f64 in the carry (an O(1) scalar): an f32 carry
+                # could flip the `rn > tol` test by ~6e-8 relative near tol
+                # and desynchronize the iteration count from the host loop,
+                # which compares in f64 (ADVICE r4)
+                rn0 = jnp.linalg.norm(b_int)
 
                 def cond(st):
                     return jnp.logical_and(st[2] > tol, st[3] < maxiter)
@@ -726,7 +730,7 @@ class DistributedMG:
                 def body(st):
                     xh, xl, _, it = st
                     xh, xl, rn = step(xh, xl, bh, bl)
-                    return (xh, xl, jnp.float32(rn), it + 1)
+                    return (xh, xl, rn.astype(rn0.dtype), it + 1)
 
                 st = jax.lax.while_loop(cond, body,
                                         (xh, xl, rn0, jnp.int32(0)))

@@ -43,7 +43,14 @@ def test_kron_pallas_matches_xla(npts, p, periodic):
 
 
 def test_kron_pallas_supported_gates():
-    assert kron_pallas_supported((128, 128, 128), (3,) * 3, jnp.float32)
+    import jax
+
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    # shape/dtype gates; the backend gate means everything is False on a
+    # CPU/GPU host, so POMS_TPU_KRON=pallas degrades gracefully off-TPU
+    # instead of hard-failing at Mosaic lowering (ADVICE r4)
+    assert kron_pallas_supported((128, 128, 128), (3,) * 3,
+                                 jnp.float32) == on_tpu
     assert not kron_pallas_supported((64, 64, 64), (3,) * 3, jnp.float32)
     assert not kron_pallas_supported((128, 128), (3,) * 2, jnp.float32)
     assert not kron_pallas_supported((128,) * 3, (3,) * 3, jnp.float64)
@@ -52,11 +59,15 @@ def test_kron_pallas_supported_gates():
 def test_kron_dispatch_opt_in(monkeypatch):
     """The fused kron kernel is strictly opt-in (POMS_TPU_KRON=pallas):
     measured round 4, it wins standalone but loses inside the solve
-    because the pallas_call blocks XLA's cross-op fusion."""
+    because the pallas_call blocks XLA's cross-op fusion.  On CPU/GPU
+    hosts the backend gate keeps it off even when opted in."""
+    import jax
+
     from poms_tpu.ops import dispatch as _d
 
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
     monkeypatch.delenv("POMS_TPU_KRON", raising=False)
     assert not _d.use_pallas_kron((128,) * 3, (3,) * 3, jnp.float32)
     monkeypatch.setenv("POMS_TPU_KRON", "pallas")
-    assert _d.use_pallas_kron((128,) * 3, (3,) * 3, jnp.float32)
+    assert _d.use_pallas_kron((128,) * 3, (3,) * 3, jnp.float32) == on_tpu
     assert not _d.use_pallas_kron((64,) * 3, (3,) * 3, jnp.float32)
