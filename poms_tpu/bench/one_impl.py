@@ -12,7 +12,9 @@ import sys
 def main():
     impl = sys.argv[1]
     d = int(sys.argv[2])
-    n = int(sys.argv[3])
+    # <n> is either a cube edge ("128") or an explicit non-cubic grid
+    # ("64x32x128" — used by the lane-fold feasibility probes)
+    n_s = sys.argv[3]
     degree = int(sys.argv[4])
     iters = int(sys.argv[5]) if len(sys.argv) > 5 else 20
     dtype_s = sys.argv[6] if len(sys.argv) > 6 else "f32"
@@ -25,7 +27,9 @@ def main():
     _enable_persistent_cache()
 
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_s]
-    r = bench_spmv((n,) * d, degree=degree, dtype=dtype, iters=iters,
+    npts = (tuple(int(s) for s in n_s.split("x")) if "x" in n_s
+            else (int(n_s),) * d)
+    r = bench_spmv(npts, degree=degree, dtype=dtype, iters=iters,
                    impl=impl)
     print("RESULT " + json.dumps({
         "name": r.name, "wall_s": r.wall_s, "gbytes_per_s": r.gbytes_per_s,

@@ -61,17 +61,20 @@ def estimate_dinv_a_lambda_max(A, iters: int = 30, seed: int = 0) -> float:
     power iterations dominate setup (~2.4 s/apply through XLA's f64
     emulation vs ~40 ms in f32).
     """
-    import numpy as np
-
     if A.space.dtype == jnp.dtype(jnp.float64):
         A = _cast_operator_f32(A)
     sp = A.space
-    rng = np.random.default_rng(seed)
-    diag = A.diagonal()
-    x = jnp.asarray(rng.standard_normal(sp.npts), sp.dtype)
 
+    # A and diag are jit ARGUMENTS, and the start vector is generated ON
+    # DEVICE: at 512³ the diagonal is a 539 MB array — as a closure
+    # constant it gets embedded in the remote-compile request (HTTP 413
+    # through this machine's TPU tunnel), and a host-RNG start vector
+    # would cross the pathologically slow host→device link.
     @jax.jit
-    def iterate(x):
+    def iterate(A, diag, seed_arr):
+        x = jax.random.normal(jax.random.PRNGKey(seed_arr[0]), sp.npts,
+                              sp.dtype)
+
         def body(_, x):
             v = StencilVector.from_interior(sp, x)
             y = A.dot(v).interior / diag
@@ -82,7 +85,7 @@ def estimate_dinv_a_lambda_max(A, iters: int = 30, seed: int = 0) -> float:
         y = A.dot(v).interior / diag
         return jnp.vdot(x, y) / jnp.vdot(x, x)
 
-    return float(iterate(x))
+    return float(iterate(A, A.diagonal(), jnp.asarray([seed], jnp.int32)))
 
 
 def _cast_operator_f32(A):

@@ -103,12 +103,15 @@ def poisson_problem(dim: int, n_el, degree: int = 3,
     else:
         band_t = _kron_sum_band(splines, dtype, offset_major=True)
         A = StencilMatrix.from_band_t(space, band_t)
-    # RHS: f = d π² Π sin(π x_a)  →  b = d π² ⊗_a s_a  (device outer product)
+    # RHS: f = d π² Π sin(π x_a)  →  b = d π² ⊗_a s_a  (device outer product,
+    # via broadcast MULTIPLIES, not tensordot: at 512³ f64 the emulated
+    # dot_general materializes an [8, n, n, n] f32 temp — 20.3 GB, an HBM
+    # OOM at compile — while the elementwise emulated multiply streams)
     moments = [jnp.asarray(sin_moment_1d(s, m=1, interior=True), dtype)
                for s in splines]
     b_int = moments[0]
     for m in moments[1:]:
-        b_int = jnp.tensordot(b_int, m, axes=0)
+        b_int = b_int[..., None] * m
     b_int = dim * np.pi ** 2 * b_int
     b = StencilVector.from_interior(space, b_int)
     return PoissonProblem(dim=dim, degree=degree, n_el=n_el, space=space,
