@@ -40,11 +40,22 @@ def main():
     pcg = MGPreconditionedCG(prob, num_levels=num_levels, cfg=cfg,
                              mixed=True, operator="kron",
                              precision=precision, low_dtype=low_dtype)
-    x, rn, it = pcg.solve_compiled(tol=tol, maxiter=100)
-    jax.block_until_ready(x.interior)
+    # big grids: free the f64 RHS and skip the result vector (see
+    # MixedPrecisionMG.solve_compiled docstring — 512³ HBM margins)
+    kw = {}
+    if n_el >= 384 and precision == "dw":
+        from poms_tpu.ops.twofloat import split_f64_jit
+
+        b_pair = split_f64_jit(prob.b.interior)
+        jax.block_until_ready(b_pair[0])
+        prob.b = None
+        kw = {"b_pair": b_pair, "return_x": False}
+    x, rn, it = pcg.solve_compiled(tol=tol, maxiter=100, **kw)
+    jax.block_until_ready(rn)
+    del x
     t0 = time.perf_counter()
-    x, rn, it = pcg.solve_compiled(tol=tol, maxiter=100)
-    jax.block_until_ready(x.interior)
+    x, rn, it = pcg.solve_compiled(tol=tol, maxiter=100, **kw)
+    jax.block_until_ready(rn)
     wall = time.perf_counter() - t0
     it = int(it)
     print("RESULT " + json.dumps({

@@ -24,6 +24,7 @@ Two timings are reported per run:
   so the r3→r4 comparison stays apples-to-apples.
 """
 import json
+import os
 import sys
 import time
 
@@ -64,18 +65,38 @@ def main():
                           operator="kron", residual=residual,
                           inner_cycles=inner, low_dtype=low_dtype)
     # host loop: residual history + convergence verification + the
-    # r3-comparable per-iter median (includes one host sync per cycle)
-    res = mg.solve(tol=tol, maxiter=100)
-    steady = res.wall_times[1:] or res.wall_times
-    host_per_iter = float(np.median(steady))
+    # r3-comparable per-iter median (includes one host sync per cycle).
+    # Skipped at 512³: the host loop's live (xh, xl, rh, rl) references
+    # double-book HBM against the compiled solve's own state (the margin
+    # of the first 512³ OOM), and the compiled path asserts convergence
+    # on its own.
+    skip_host = n_el >= 384 or os.environ.get("POMS_SKIP_HOST_LOOP")
+    if skip_host:
+        host_per_iter, host_conv, host_iters = None, True, None
+    else:
+        res = mg.solve(tol=tol, maxiter=100)
+        steady = res.wall_times[1:] or res.wall_times
+        host_per_iter = float(np.median(steady))
+        host_conv, host_iters = bool(res.converged), res.iterations
 
     # compiled solve: warm once (compile), then time the second call —
-    # the deterministic solve re-runs the same iterations from x = 0
-    x, rn, it = mg.solve_compiled(tol=tol, maxiter=100)
-    jax.block_until_ready(x.interior)
+    # the deterministic solve re-runs the same iterations from x = 0.
+    # Big grids free the f64 RHS first and skip the result vector: 512³
+    # runs within ~1 GB of the HBM budget (see solve_compiled docstring).
+    kw = {}
+    if skip_host and mg.residual_mode == "twofloat":
+        from poms_tpu.ops.twofloat import split_f64_jit
+
+        b_pair = split_f64_jit(prob.b.interior)
+        jax.block_until_ready(b_pair[0])
+        prob.b = None            # frees the padded f64 RHS (~1.1 GB @512³)
+        kw = {"b_pair": b_pair, "return_x": False}
+    x, rn, it = mg.solve_compiled(tol=tol, maxiter=100, **kw)
+    jax.block_until_ready(rn)
+    del x
     t0 = time.perf_counter()
-    x, rn, it = mg.solve_compiled(tol=tol, maxiter=100)
-    jax.block_until_ready(x.interior)
+    x, rn, it = mg.solve_compiled(tol=tol, maxiter=100, **kw)
+    jax.block_until_ready(rn)
     wall = time.perf_counter() - t0
     it = int(it)
     per_iter = wall / max(it, 1)
@@ -84,12 +105,12 @@ def main():
                  f"{mg.residual_mode}_ic{inner}"
                  f"_cheb{cheb_degree}f{cheb_fraction:g}"
                  + ("" if low == "f32" else f"_{low}")),
-        "converged": bool(res.converged) and float(rn) <= tol,
+        "converged": host_conv and float(rn) <= tol,
         "iterations": it,
         "per_iter_s": per_iter,
         "wall_to_tol_s": wall,
         "host_loop_per_iter_s": host_per_iter,
-        "host_loop_iterations": res.iterations,
+        "host_loop_iterations": host_iters,
         "final_residual": float(rn),
         "residual_mode": mg.residual_mode,
         "grid": [n_el] * 3, "levels": num_levels}), flush=True)

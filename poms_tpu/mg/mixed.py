@@ -205,18 +205,25 @@ class MixedPrecisionMG:
             self._step_tf = jax.jit(step_tf)
 
     def solve_compiled(self, b: Optional[StencilVector] = None,
-                       tol: float = 1e-10, maxiter: int = 100):
+                       tol: float = 1e-10, maxiter: int = 100,
+                       b_pair=None, return_x: bool = True):
         """Fully-jitted defect-correction solve (``lax.while_loop``):
         ONE dispatch + ONE scalar fetch per solve, vs one host sync per
         cycle in :meth:`solve` (VERDICT r3 ask #4 — through this machine's
         TPU tunnel the per-cycle ``float(rn)`` round-trips dominate).
+
+        HBM-pressure knobs for giant grids (twofloat mode only — both
+        exist because 512³ is within ~1 GB of the 15.75 GB chip budget):
+        ``b_pair=(bh, bl)`` supplies the pre-split RHS so the caller can
+        FREE the f64 ``b`` before solving; ``return_x=False`` skips
+        materializing the padded result vector (returns ``(x_interior,
+        rn, it)`` with the raw f64 interior instead of a StencilVector).
 
         Returns ``(x, final_residual, iterations)``; equivalent to
         :meth:`solve` (same per-cycle update — pinned by
         tests/test_mixed.py::test_solve_compiled_matches_host_loop).
         ``solve`` stays the logging/history path.
         """
-        b = b if b is not None else self.problem.b
         space = self.problem.space
         # cache the jitted runner per (tol, maxiter): a fresh jax.jit object
         # per call would re-trace on EVERY solve (measured: 0.47 s/iter of
@@ -229,15 +236,29 @@ class MixedPrecisionMG:
             from poms_tpu.ops.twofloat import dw_norm2, merge_f64, split_f64
 
             step_tf = self._step_tf_raw
+            # split OUTSIDE the jit and pass the (hi, lo) f32 pair: an
+            # f64 b_int parameter costs 1.07 GB at 512³ plus the in-graph
+            # split temps — the margin by which the 512³ compile first
+            # exceeded HBM (16.12 G of 15.75 G)
+            from poms_tpu.ops.twofloat import split_f64_jit
+
+            if b_pair is not None:
+                bh_e, bl_e = b_pair
+            else:
+                b = b if b is not None else self.problem.b
+                bh_e, bl_e = split_f64_jit(b.interior)
+
+            def wrap(x_int):
+                return (StencilVector.from_interior(space, x_int)
+                        if return_x else x_int)
 
             if key in cache:
                 x_int, rn, it = cache[key](self.levels32, self._terms_df,
-                                           b.interior)
-                return (StencilVector.from_interior(space, x_int), rn, it)
+                                           bh_e, bl_e)
+                return (wrap(x_int), rn, it)
 
             @jax.jit
-            def run_tf(levels32, terms_df, b_int):
-                bh, bl = split_f64(b_int)
+            def run_tf(levels32, terms_df, bh, bl):
                 xh, xl = jnp.zeros_like(bh), jnp.zeros_like(bl)
                 rn0 = dw_norm2(bh, bl)
 
@@ -255,10 +276,11 @@ class MixedPrecisionMG:
                 return merge_f64(st[0], st[1]), st[4], st[5]
 
             cache[key] = run_tf
-            x_int, rn, it = run_tf(self.levels32, self._terms_df, b.interior)
-            x = StencilVector.from_interior(space, x_int)
-            return x, rn, it
+            x_int, rn, it = run_tf(self.levels32, self._terms_df, bh_e,
+                                   bl_e)
+            return wrap(x_int), rn, it
 
+        b = b if b is not None else self.problem.b
         step = self._step_raw
         if key in cache:
             return cache[key](self.levels64, self.levels32, b)
@@ -554,12 +576,15 @@ class MGPreconditionedCG:
         return self._first_z_fn(self.levels_pre, rh, rl)
 
     def solve_compiled(self, b: Optional[StencilVector] = None,
-                       tol: float = 1e-10, maxiter: int = 100):
+                       tol: float = 1e-10, maxiter: int = 100,
+                       b_pair=None, return_x: bool = True):
         """Fully-jitted PCG solve (``lax.while_loop``) — one dispatch +
         one scalar fetch per solve (VERDICT r3 ask #4, PCG leg).  Returns
         ``(x, final_residual, iterations)``.  Covers both precision
-        modes."""
-        b = b if b is not None else self.problem.b
+        modes.  ``b_pair``/``return_x``: HBM-pressure knobs for giant
+        grids, dw mode only — see MixedPrecisionMG.solve_compiled."""
+        if b_pair is None:
+            b = b if b is not None else self.problem.b
         key = (self.precision, float(tol), int(maxiter))
         cache = getattr(self, "_compiled_runners", None)
         if cache is None:
@@ -574,8 +599,8 @@ class MGPreconditionedCG:
                 first_z = self._first_z  # compiles its own helper lazily
 
                 @jax.jit
-                def run_dw(levels_pre, terms_df, b_int, z0):
-                    bh, bl = split_f64(b_int)
+                def run_dw(levels_pre, terms_df, bh, bl, z0):
+                    # (bh, bl) split outside the jit — see run_tf note
                     xh, xl = jnp.zeros_like(bh), jnp.zeros_like(bl)
                     rh, rl = bh, bl
                     rz0 = dw_dot(z0, jnp.zeros_like(z0), rh, rl)
@@ -597,11 +622,18 @@ class MGPreconditionedCG:
                     return merge_f64(st[0], st[1]), st[7], st[8]
 
                 cache[key] = run_dw
-            bh, bl = split_f64(b.interior)
+            from poms_tpu.ops.twofloat import split_f64_jit
+
+            if b_pair is not None:
+                bh, bl = b_pair
+            else:
+                bh, bl = split_f64_jit(b.interior)
             z0 = self._first_z(bh, bl)
             x_int, rn, it = cache[key](self.levels_pre, self._terms_df,
-                                       b.interior, z0)
-            return StencilVector.from_interior(space, x_int), rn, it
+                                       bh, bl, z0)
+            x = (StencilVector.from_interior(space, x_int) if return_x
+                 else x_int)
+            return x, rn, it
         if key not in cache:
             step = self._step_raw
             precond = self._precond_raw

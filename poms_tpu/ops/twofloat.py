@@ -69,6 +69,13 @@ def merge_f64(hi, lo):
     return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
 
+# jitted split for setup-time use on large arrays (one compile per shape,
+# not one per jax.jit(...) wrapper per call)
+import jax as _jax  # noqa: E402  (placed here to keep the top imports light)
+
+split_f64_jit = _jax.jit(split_f64)
+
+
 def two_sum(a, b):
     """Knuth two_sum: s + e == a + b exactly (6 flops, branch-free).
 

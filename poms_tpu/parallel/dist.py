@@ -566,37 +566,43 @@ class DistributedMG:
                 lab0 = labels_l[0]
                 spec0 = dist_meta[0].spec
 
-                def body_mixed_tf(xh, xl, bh, bl, bands_lo, bands_df0,
-                                  transfers, tail, tail_tr):
+                def body_mixed_tf(xh, xl, rh, rl, rn_prev, bh, bl,
+                                  bands_lo, bands_df0, transfers, tail,
+                                  tail_tr):
                     # sharded defect correction carried entirely in
-                    # double-word f32: no f64 emulation in the loop
-                    rh, rl = dist_kron_residual_df(bands_df0, lab0, bh, bl,
-                                                   xh, xl, spec0)
-                    scale = dist_dw_norm2(rh, rl, spec0)
-                    safe32 = jnp.where(scale > 0, scale,
+                    # double-word f32: no f64 emulation in the loop.  The
+                    # residual (rh, rl) and its norm are CARRIED between
+                    # iterations (mirroring mg/mixed.py::step_tf) — the
+                    # pre-round-5 body recomputed both at entry, doubling
+                    # the dominant dist residual+norm cost per cycle.
+                    safe32 = jnp.where(rn_prev > 0, rn_prev,
                                        1.0).astype(jnp.float32)
                     r_lo = rh / safe32
                     e_lo = error_cycles_local(r_lo, bands_lo, transfers,
                                               tail, tail_tr)
                     ch, cl = two_prod(e_lo, safe32)     # exact e·safe
                     xh, xl = dw_add(xh, xl, ch, cl)
-                    rh2, rl2 = dist_kron_residual_df(bands_df0, lab0, bh,
-                                                     bl, xh, xl, spec0)
-                    rn = dist_dw_norm2(rh2, rl2, spec0)
-                    return xh, xl, rn
+                    rh, rl = dist_kron_residual_df(bands_df0, lab0, bh,
+                                                   bl, xh, xl, spec0)
+                    rn = dist_dw_norm2(rh, rl, spec0)
+                    return xh, xl, rh, rl, rn
 
                 smap = jax.shard_map(
                     body_mixed_tf, mesh=self.mesh,
                     in_specs=(self._grid_spec, self._grid_spec,
+                              self._grid_spec, self._grid_spec, rep,
                               self._grid_spec, self._grid_spec,
                               band_specs, rep,
                               jax.tree.map(lambda _: rep, transfers),
                               jax.tree.map(lambda _: rep, serial_tail),
                               jax.tree.map(lambda _: rep, tail_tr)),
-                    out_specs=(self._grid_spec, self._grid_spec, rep))
+                    out_specs=(self._grid_spec, self._grid_spec,
+                               self._grid_spec, self._grid_spec, rep))
 
-                def step(xh_glob, xl_glob, bh_glob, bl_glob):
-                    return smap(xh_glob, xl_glob, bh_glob, bl_glob,
+                def step(xh_glob, xl_glob, rh_glob, rl_glob, rn_prev,
+                         bh_glob, bl_glob):
+                    return smap(xh_glob, xl_glob, rh_glob, rl_glob,
+                                rn_prev, bh_glob, bl_glob,
                                 bands_lo, bands_df0, transfers,
                                 serial_tail, tail_tr)
 
@@ -664,12 +670,16 @@ class DistributedMG:
         bh, bl = split_f64(b_glob)
         xh = jnp.zeros_like(bh)
         xl = jnp.zeros_like(bl)
-        residuals = [float(jnp.linalg.norm(b.interior))]
+        rh, rl = bh, bl                         # r(x=0) = b, exactly
+        rn_prev = jnp.linalg.norm(b.interior)   # first step's scale
+        residuals = [float(rn_prev)]
         wall = []
         it, converged = 0, residuals[-1] <= tol
         while not converged and it < maxiter:
             t0 = time.perf_counter()
-            xh, xl, rn = self._step(xh, xl, bh, bl)
+            xh, xl, rh, rl, rn = self._step(xh, xl, rh, rl, rn_prev, bh,
+                                            bl)
+            rn_prev = rn
             rn = float(rn)
             wall.append(time.perf_counter() - t0)
             residuals.append(rn)
@@ -725,16 +735,17 @@ class DistributedMG:
                 rn0 = jnp.linalg.norm(b_int)
 
                 def cond(st):
-                    return jnp.logical_and(st[2] > tol, st[3] < maxiter)
+                    return jnp.logical_and(st[4] > tol, st[5] < maxiter)
 
                 def body(st):
-                    xh, xl, _, it = st
-                    xh, xl, rn = step(xh, xl, bh, bl)
-                    return (xh, xl, rn.astype(rn0.dtype), it + 1)
+                    xh, xl, rh, rl, rn_prev, it = st
+                    xh, xl, rh, rl, rn = step(xh, xl, rh, rl, rn_prev,
+                                              bh, bl)
+                    return (xh, xl, rh, rl, rn.astype(rn0.dtype), it + 1)
 
-                st = jax.lax.while_loop(cond, body,
-                                        (xh, xl, rn0, jnp.int32(0)))
-                return merge_f64(st[0], st[1]), st[2], st[3]
+                st = jax.lax.while_loop(
+                    cond, body, (xh, xl, bh, bl, rn0, jnp.int32(0)))
+                return merge_f64(st[0], st[1]), st[4], st[5]
 
             cache[key] = run_tf
             x_glob, rn, it = run_tf(self._pad_global(b.interior), b.interior)
