@@ -98,11 +98,16 @@ def main():
     # BOTH residual modes with identical accounting (VERDICT r3 ask #3)
     solves = {}
     for n_el in [int(s) for s in
-                 os.environ.get("POMS_BENCH_SOLVE", "64,128").split(",")
+                 os.environ.get("POMS_BENCH_SOLVE", "64,128,256").split(",")
                  if s]:
         solves[n_el] = {}
-        for residual in os.environ.get("POMS_BENCH_RESIDUALS",
-                                       "twofloat,f64").split(","):
+        # the twofloat-vs-f64 A/B is pinned at 64/128 (BASELINE.md round
+        # 4); at 256+ only the production twofloat mode runs — the f64
+        # leg would spend minutes re-measuring a settled 3.5× loss
+        residuals = os.environ.get(
+            "POMS_BENCH_RESIDUALS",
+            "twofloat,f64" if n_el <= 128 else "twofloat")
+        for residual in residuals.split(","):
             r = run_solve(n_el, residual)
             if r is not None:
                 solves[n_el][r["residual_mode"]] = r
@@ -114,11 +119,13 @@ def main():
         if not solves[n_el]:
             del solves[n_el]
     # dw-precision MG-preconditioned CG: the fastest measured path to
-    # 1e-10 (round 4: 0.127 s at 128³ vs 0.185 s defect correction)
+    # 1e-10 (round 5: 12.06 s at 512³ — 9 iterations at EVERY size
+    # 64..512; the banded format physically cannot reach 256³+, the
+    # kron+EFT path runs 512³ in a handful of 0.5–1 GB fields)
     pcgs = {}
     for n_el in [int(s) for s in
-                 os.environ.get("POMS_BENCH_PCG", "64,128").split(",")
-                 if s]:
+                 os.environ.get("POMS_BENCH_PCG", "64,128,256,512")
+                 .split(",") if s]:
         r = run_pcg(n_el)
         if r is not None:
             pcgs[n_el] = r
