@@ -231,6 +231,30 @@ def bench_spmv(npts, degree: int = 3, dtype=jnp.float32, iters: int = 20,
             from poms_tpu.ops.spmv import spmv_banded_jnp as spmv_fn
         elif impl == "pallas":
             from poms_tpu.ops.pallas.spmv import spmv_banded_pallas as spmv_fn
+        elif impl == "fold2":
+            # lane-folded small-lane 3D path: band pre-folded at setup
+            # (operator-lifetime relayout, like pack_band_v2) — see
+            # ops/spmv.py::spmv_banded_fold2_jnp
+            from poms_tpu.ops.spmv import fold2_band, spmv_banded_fold2_jnp
+
+            band_f = jax.jit(fold2_band, static_argnames=("npts",))(
+                band, npts)
+            jax.block_until_ready(band_f)
+
+            def step(x_pad, bf):
+                y = spmv_banded_fold2_jnp(bf, x_pad, npts, pads)
+                return jnp.pad(y, [(degree, degree)] * d)
+
+            wall = time_step_loop(step, x0, consts=(band_f,), iters=iters)
+            points = math.prod(npts)
+            isize = jnp.dtype(dtype).itemsize
+            nbytes = (terms + 2) * points * isize
+            gbps = nbytes / wall / 1e9
+            return BenchResult(
+                name=f"spmv_banded_{impl}_{d}d_p{degree}",
+                dtype=str(jnp.dtype(dtype)), grid=npts, wall_s=wall,
+                gbytes_per_s=gbps, gnnz_per_s=terms * points / wall / 1e9,
+                pct_sol=100.0 * gbps / sol_bandwidth())
         else:
             raise ValueError(impl)
 

