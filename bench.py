@@ -50,10 +50,11 @@ def _run_subproc(cmd, tag):
     return None
 
 
-def run_impl(impl):
+def run_impl(impl, n=None):
     return _run_subproc(
         [sys.executable, "-u", "-m", "poms_tpu.bench.one_impl",
-         impl, str(DIM), str(N), str(DEGREE)], f"impl {impl}")
+         impl, str(DIM), str(n if n is not None else N), str(DEGREE)],
+        f"impl {impl}")
 
 
 def run_solve(n_el, residual="auto"):
@@ -94,6 +95,12 @@ def main():
             log(f"{r['name']}: {r['wall_s']*1e3:.2f} ms  "
                 f"{r['gbytes_per_s']:.1f} GB/s  {r['gnnz_per_s']:.2f} Gnnz/s"
                 f"  {r['pct_sol']:.1f}% SoL")
+    # the small-lane lane-folded path at 64³ (round-5 close: 70% SoL
+    # where the unfolded paths sit at 12–14%)
+    fold64 = run_impl("fold2", 64)
+    if fold64 is not None:
+        log(f"{fold64['name']} (64³): {fold64['wall_s']*1e3:.2f} ms  "
+            f"{fold64['pct_sol']:.1f}% SoL")
     # headline metric 2 (BASELINE.json:2): V-cycle wall to 1e-10, 3D —
     # BOTH residual modes with identical accounting (VERDICT r3 ask #3)
     solves = {}
@@ -156,6 +163,8 @@ def main():
         # (VERDICT r2 weak #9 / ask #4)
         "pallas_pct_sol": (round(results["pallas"]["pct_sol"], 1)
                            if "pallas" in results else None),
+        "fold2_64_pct_sol": (round(fold64["pct_sol"], 1)
+                             if fold64 is not None else None),
         # MEASURED ceiling (round-4 re-based — VERDICT r3 weak #2): the max
         # same-session achieved GB/s over the streaming probes, which now
         # include NON-Pallas plain-XLA streams (xlastream: read+reduce over
