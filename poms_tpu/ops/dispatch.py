@@ -24,13 +24,18 @@ _PALLAS_DTYPES = (jnp.dtype("float32"), jnp.dtype("bfloat16"))
 
 
 def use_pallas(dtype, ndim: int, npts=None) -> bool:
-    """Pallas only where it measurably wins: the 3D 343-term stencil
-    (v1: 91.5% of SoL at 128³ p3).  In 1D/2D XLA's own shifted-MAC fusion
-    is the faster engine (measured round 4, corrected K/2K timing:
-    2D 2048² p3 jnp 1.10 ms / 95.3% SoL vs Pallas 3.76 ms; 1D 2²⁰ jnp
-    23× faster); likewise small 3D grids whose last dim underfills the
-    128-wide vector lanes (64³: Pallas 3.14 ms vs jnp ~2.3 ms — half the
-    lanes padded).  The lifted/small Pallas paths remain available via
+    """Pallas only where it measurably wins (corrected K/2K timing):
+
+    - 3D 343-term stencil with full lanes: v1 at 92.5% SoL at 128³ p3.
+      Small-lane 3D goes to the fold2/jnp path (`use_fold2`).
+    - 1D at n ≥ 2²²: the planked kernel reaches 74–76% SoL (2²²/2²³)
+      where XLA's shifted-MAC sits at 12–13%; below the crossover the
+      fixed plank overhead loses (2²⁰: jnp 288 µs vs Pallas 630 µs) —
+      round-5 crossover ladder in BASELINE.md.
+    - 2D stays jnp: XLA's own fusion wins (2048² p3: 1.10 ms / 95.3% SoL
+      vs Pallas 3.76 ms).
+
+    The unlisted Pallas paths remain available via
     ``POMS_TPU_IMPL=pallas`` and stay parity-tested."""
     force = os.environ.get("POMS_TPU_IMPL")
     if force == "jnp":
@@ -38,9 +43,12 @@ def use_pallas(dtype, ndim: int, npts=None) -> bool:
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if force == "pallas":
         return jnp.dtype(dtype) in _PALLAS_DTYPES and 1 <= ndim <= 3
+    if not (on_tpu and jnp.dtype(dtype) in _PALLAS_DTYPES):
+        return False
+    if ndim == 1:
+        return npts is not None and npts[0] >= (1 << 22)
     lanes_ok = npts is None or npts[-1] >= 96
-    return (on_tpu and jnp.dtype(dtype) in _PALLAS_DTYPES and ndim == 3
-            and lanes_ok)
+    return ndim == 3 and lanes_ok
 
 
 def use_fold2(dtype, npts, folded) -> bool:
