@@ -517,6 +517,7 @@ class MGPreconditionedCG:
                 return xh, xl, rh, rl, z_new, p, rz_new, rn
 
             self._step_dw_raw = step_dw
+            self._precond_dw_raw = precond_dw
             self._step_dw = jax.jit(step_dw)
 
     def _solve_dw(self, b, tol, maxiter, logger):
@@ -598,15 +599,20 @@ class MGPreconditionedCG:
             space = self.problem.space
             if key not in cache:
                 step_dw = self._step_dw_raw
-                first_z = self._first_z  # compiles its own helper lazily
+                precond_dw = self._precond_dw_raw
 
                 @jax.jit
-                def run_dw(levels_pre, terms_df, bh, bl, z0):
-                    # (bh, bl) split outside the jit — see run_tf note
+                def run_dw(levels_pre, terms_df, bh, bl):
+                    # (bh, bl) split outside the jit — see run_tf note.
+                    # z₀ (the first preconditioned residual) is computed
+                    # IN-GRAPH: a separate _first_z dispatch costs two
+                    # host round-trips through the TPU tunnel per solve
+                    # (round-5 fixed-cost shave; identical arithmetic).
                     xh, xl = jnp.zeros_like(bh), jnp.zeros_like(bl)
                     rh, rl = bh, bl
-                    rz0 = dw_dot(z0, jnp.zeros_like(z0), rh, rl)
                     rn0 = dw_norm2(rh, rl)
+                    z0 = precond_dw(levels_pre, rh, rl, rn0)
+                    rz0 = dw_dot(z0, jnp.zeros_like(z0), rh, rl)
 
                     def cond(st):
                         return jnp.logical_and(st[7] > tol,
@@ -630,9 +636,8 @@ class MGPreconditionedCG:
                 bh, bl = b_pair
             else:
                 bh, bl = split_f64_jit(b.interior)
-            z0 = self._first_z(bh, bl)
             x_int, rn, it = cache[key](self.levels_pre, self._terms_df,
-                                       bh, bl, z0)
+                                       bh, bl)
             x = (StencilVector.from_interior(space, x_int) if return_x
                  else x_int)
             return x, rn, it
