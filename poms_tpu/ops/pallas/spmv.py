@@ -833,7 +833,9 @@ def _stencil_call_v2(band_t, x_pad, b, omega, npts, pads, mode, interpret,
 # 1D planking
 # ---------------------------------------------------------------------------
 
-_PLANK_W = 512
+import os as _os
+
+_PLANK_W = int(_os.environ.get("POMS_TPU_PLANK_W", "512"))
 
 
 def _plank_1d(band_t, x_pad, b, n, p):
