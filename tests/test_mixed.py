@@ -242,3 +242,30 @@ def test_pcg_dw_precision_reaches_1e10():
 
 
 
+
+
+def test_pcg_dwrr_converges_to_true_tolerance():
+    """Residual-replacement PCG (precision='dwrr', round-5 experiment):
+    converges with the stopping test certified on the TRUE dw residual.
+    Kept opt-in: measured on chip at 128³ it loses end-to-end (15 iters ×
+    10.7 ms vs dw's 9 × 14.1 — the f32-A·p saving is real but each
+    replacement restart forfeits CG's superlinearity; BASELINE.md r5)."""
+    import jax.numpy as jnp
+
+    from poms_tpu.mg.cycles import CycleConfig
+    from poms_tpu.mg.mixed import MGPreconditionedCG
+    from poms_tpu.mg.smoother import SmootherConfig
+    from poms_tpu.models.poisson import poisson_problem
+
+    cfg = CycleConfig(nu1=1, nu2=1,
+                      smoother=SmootherConfig("chebyshev",
+                                              cheb_fraction=16.0))
+    prob = poisson_problem(3, 16, degree=3, operator="kron",
+                           dtype=jnp.float64)
+    rr = MGPreconditionedCG(prob, num_levels=2, cfg=cfg, mixed=True,
+                            operator="kron", precision="dwrr")
+    x, rn, it = rr.solve_compiled(tol=1e-10, maxiter=60)
+    true_rn = float((prob.b - prob.A.dot(x)).norm())
+    assert float(rn) <= 1e-10
+    assert true_rn <= 2e-10
+    assert int(it) % rr.replace_every == 0   # round-quantized count
