@@ -1,10 +1,12 @@
 """Flagship production solve: 3D Poisson to ‖r‖₂ ≤ 1e-10, fast path.
 
-The configuration behind the round-4 headline numbers (BASELINE.md:
-0.041 s at 64³ via twofloat defect correction, 0.127 s at 128³ via
-dw-precision MG-PCG, TPU v5e, compiled single-dispatch solves):
+The configuration behind the round-5 headline numbers (BASELINE.md,
+TPU v5e, ONE chip, compiled single-dispatch solves) — dw-precision
+MG-PCG at 9 iterations at EVERY size: 0.037 s at 64³, 0.127 s at 128³,
+1.49 s at 256³, 12.1 s at 512³ (where the banded band alone would need
+23 GB > HBM); defect correction (cheb frac 32): 0.047/0.162/2.15/17.7 s:
 
-- Kronecker-sum operator (structure-exploiting; ~1030 Gnnz/s effective)
+- Kronecker-sum operator (structure-exploiting; ~1050 Gnnz/s effective)
 - Chebyshev(4)-smoothed f32 V-cycles
 - double-word f32 (EFT) outer recurrences — no f64 emulation in the
   iterate loop
@@ -36,9 +38,12 @@ def main(n_el=64, degree=3, solver="dc"):
           f"solver={solver}")
     prob = poisson_problem(3, n_el, degree=degree, operator="kron",
                            dtype=jnp.float64)
+    # window fractions: PCG is insensitive (16 kept); DC measurably
+    # prefers 32 at ≥128³ (round-5 sweep, BASELINE.md)
     cfg = CycleConfig(nu1=1, nu2=1,
-                      smoother=SmootherConfig("chebyshev",
-                                              cheb_fraction=16.0))
+                      smoother=SmootherConfig(
+                          "chebyshev",
+                          cheb_fraction=16.0 if solver == "pcg" else 32.0))
     if solver == "pcg":
         mg = MGPreconditionedCG(prob, num_levels=levels, cfg=cfg,
                                 mixed=True, operator="kron",
