@@ -175,6 +175,12 @@ def test_chebyshev_smoother_parity_and_speed():
     res = mg.solve(tol=1e-10, maxiter=10)  # parity over the first cycles
     oracle = OracleMG(prob, num_levels=2, nu1=1, nu2=1,
                       smoother="chebyshev")
+    # share the DEVICE λmax estimates: round 5 moved the estimator to f32
+    # with an on-device RNG (512³ compile-request limits), so the two
+    # independent power iterations now agree only to ~1e-3 — which ten
+    # cycles of ρ(λ) amplify past the parity tolerance.  The estimator is
+    # smoke-tested separately; this test pins the CYCLE arithmetic.
+    oracle.lams = [None if l is None else float(l) for l in mg.lams]
     _, hist = oracle.solve(np.asarray(prob.b.interior).ravel(), tol=1e-10,
                            maxiter=10)
     assert len(hist) == len(res.residuals)
