@@ -99,6 +99,65 @@ class KroneckerSumOperator:
             labels.append(row)
         return labels
 
+    def _band_to_dense(self, B: jnp.ndarray, pad: int) -> jnp.ndarray:
+        """Dense (n, n) matrix of a 1D band (Dirichlet: clipped diagonals).
+
+        Used by the opt-in MXU apply: built from jnp ops so it works on
+        band tracers; n ≤ ~513 keeps it ≤1 MB and the construction is
+        trivial next to the field-sized contractions it enables.
+        """
+        n = B.shape[0]
+        D = None
+        for t in range(B.shape[1]):
+            k = t - pad
+            v = B[: n - k, t] if k >= 0 else B[-k:, t]
+            term = jnp.diag(v, k=k)
+            D = term if D is None else D + term
+        return D
+
+    def _apply_interior_matmul(self, x_int: jnp.ndarray) -> jnp.ndarray:
+        """Σ_r ⊗B via DENSE per-axis matmuls on the MXU (opt-in,
+        ``POMS_TPU_KRON=matmul``; non-periodic only).
+
+        The shifted-MAC apply runs on the VPU; each axis contraction is
+        really an (n×n banded)·(n × rest) product, and on TPU the dense
+        version rides the MXU where the wasted off-band flops are nearly
+        free.  precision=HIGHEST keeps f32-grade products (the bf16 A/B
+        showed single-pass products forfeit iterations).
+        """
+        d = self.space.ndim
+        pads = self.space.pads
+        labels = self._band_labels()
+        prec = {"default": jax.lax.Precision.DEFAULT, "high": jax.lax.Precision.HIGH}.get(__import__("os").environ.get("POMS_TPU_KRON_PREC", ""), jax.lax.Precision.HIGHEST)
+        dense = []
+        for a in range(d):
+            row = {}
+            for r, term in enumerate(self.terms):
+                lb = labels[a][r]
+                if lb not in row:
+                    row[lb] = self._band_to_dense(term[a], pads[a])
+            dense.append(row)
+        partials = {r: x_int for r in range(len(self.terms))}
+        hist = {r: () for r in range(len(self.terms))}
+        for a in range(d - 1, -1, -1):
+            cache = {}
+            for r in range(len(self.terms)):
+                key = hist[r] + (labels[a][r],)
+                if key not in cache:
+                    D = dense[a][labels[a][r]]
+                    # contract axis a against D's columns; put the result
+                    # axis back in place (XLA folds the transposes into
+                    # the matmul's layout choice)
+                    y = jnp.tensordot(partials[r], D, axes=([a], [1]),
+                                      precision=prec)
+                    cache[key] = jnp.moveaxis(y, -1, a)
+                partials[r] = cache[key]
+                hist[r] = key
+        out = None
+        for r in partials:
+            out = partials[r] if out is None else out + partials[r]
+        return out
+
     def _apply_interior(self, x_int: jnp.ndarray) -> jnp.ndarray:
         """Σ_r ⊗B applied with shared partial products (right-to-left).
 
@@ -110,6 +169,12 @@ class KroneckerSumOperator:
         pads = self.space.pads
         periodic = self.space.periodic
         from poms_tpu.ops import dispatch as _d
+
+        import os as _os
+
+        if (_os.environ.get("POMS_TPU_KRON") == "matmul"
+                and not any(periodic)):
+            return self._apply_interior_matmul(x_int)
 
         if _d.use_pallas_kron(self.space.npts, pads, x_int.dtype):
             # OPT-IN fused Pallas apply (POMS_TPU_KRON=pallas): whole

@@ -66,3 +66,36 @@ def test_kron_3d_solver():
     mg = MultigridSolver(prob, num_levels=2, cfg=cfg, operator="kron")
     res = mg.solve(tol=1e-9, maxiter=60)
     assert res.converged
+
+
+def test_kron_matmul_apply_parity(monkeypatch):
+    """Opt-in MXU (dense-matmul) kron apply matches the shifted-MAC path.
+
+    Measured on chip (128³ p3 f32): matmul 0.697 ms (HIGH precision) vs
+    VPU 0.709 — a WASH, because the apply is HBM-bound, not flop-bound;
+    the MXU's free flops don't help a streaming kernel (BASELINE.md r5).
+    Kept opt-in as the measured answer to 'why not the MXU?'."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from poms_tpu.core.kron import KroneckerSumOperator
+    from poms_tpu.core.space import StencilVectorSpace
+
+    rng = np.random.default_rng(5)
+    npts, p = (8, 12, 10), 2
+    sp = StencilVectorSpace(npts=npts, pads=(p,) * 3, periodic=False,
+                            dtype=jnp.float32)
+    Ks = [jnp.asarray(rng.standard_normal((n, 2 * p + 1)), jnp.float32) / 4
+          for n in npts]
+    Ms = [jnp.asarray(rng.standard_normal((n, 2 * p + 1)), jnp.float32) / 4
+          for n in npts]
+    terms = [[Ks[b] if b == a else Ms[b] for b in range(3)]
+             for a in range(3)]
+    op = KroneckerSumOperator(sp, terms)
+    x = jnp.asarray(rng.standard_normal(npts), jnp.float32)
+    monkeypatch.delenv("POMS_TPU_KRON", raising=False)
+    ref = op._apply_interior(x)
+    monkeypatch.setenv("POMS_TPU_KRON", "matmul")
+    out = op._apply_interior(x)
+    denom = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(out - ref))) / denom < 1e-5
