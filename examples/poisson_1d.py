@@ -5,6 +5,13 @@ Run:  python examples/poisson_1d.py [n_el]
 """
 import sys
 
+import jax
+
+# the configs below build f64 problems; without x64 every "f64" buffer
+# silently truncates to f32 and the residual stalls at ~1e-6 (the exact
+# failure mode guarded in parallel/dist.py)
+jax.config.update("jax_enable_x64", True)
+
 from poms_tpu.mg.cycles import CycleConfig
 from poms_tpu.mg.smoother import SmootherConfig
 from poms_tpu.mg.solver import MultigridSolver
