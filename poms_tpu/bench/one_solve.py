@@ -35,10 +35,12 @@ def main():
     tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-10
     residual = sys.argv[4] if len(sys.argv) > 4 else "auto"
     inner = int(sys.argv[5]) if len(sys.argv) > 5 else 1
-    # default window frac 32 (round-5 sweep at 256³: frac 8/16/24/32/64 →
-    # 20/16/15/14/21 iters; frac32 also wins at 128³ (12 vs 14) and 512³
-    # (15 vs 18, 17.7 s vs 21.3 s), wash at 64³ — BASELINE.md round 5)
-    cheb_fraction = float(sys.argv[6]) if len(sys.argv) > 6 else 32.0
+    # default window is size-dependent (round-5 sweep at 256³: frac
+    # 8/16/24/32/64 → 20/16/15/14/21 iters; frac32 wins at 128³ (12 vs
+    # 14) and 512³ (15 vs 18, 17.7 s vs 21.3 s) but loses slightly at
+    # 64³ (0.047 vs 0.041 s) — BASELINE.md round 5)
+    cheb_fraction = (float(sys.argv[6]) if len(sys.argv) > 6
+                     else (32.0 if n_el >= 128 else 16.0))
     cheb_degree = int(sys.argv[7]) if len(sys.argv) > 7 else 4
     low = sys.argv[8] if len(sys.argv) > 8 else "f32"  # f32 | bf16
 
